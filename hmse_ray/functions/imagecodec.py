@@ -1,0 +1,92 @@
+"""Deterministic image encode/decode for the `bytes`/`fmt` payload columns.
+
+The input table carries encoded images as opaque binary (input_hint:
+``bytes: binary, w: int32, h: int32, fmt: string``). This container has no
+image libraries (no PIL / libvips), so real PNG/JPEG decode is STUBBED:
+
+  - If PIL is importable at runtime we use it for fmt in {"png", "jpeg"}.
+  - Otherwise the engine's own deterministic codecs are used:
+      * fmt "raw"  — w*h*3 RGB bytes, uncompressed
+      * fmt "png"  — zlib-compressed raw RGB (LOSSLESS stand-in)
+      * fmt "jpeg" — 6-bit-per-channel quantization + zlib (LOSSY
+        deterministic stand-in; quantization step 4 -> PSNR ~= 43 dB,
+        exercising the PSNR >= 40 dB branch of the per-row invariant)
+    and any other fmt raises NotImplementedError.
+
+The Ray-side plumbing (schema, batch sizes, actor-pool decode stage,
+output layout) is real and tested; only the codec bytes differ from a
+production deployment. The synthetic fixtures in hmse_ray.sources.fixtures
+encode with these same codecs, so decode/invariant paths are end-to-end
+exercised.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+try:  # pragma: no cover - not present in this container
+    import PIL.Image  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+_QUANT_STEP = 4  # "jpeg" stand-in: quantize each channel to multiples of 4
+
+OWN_FORMATS = ("raw", "png", "jpeg")
+
+
+def encode(pixels: np.ndarray, fmt: str, level: int = 6) -> bytes:
+    """Encode an (h, w, 3) uint8 pixel array with the engine codec."""
+    if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("pixels must be (h, w, 3) uint8")
+    raw = pixels.tobytes()
+    if fmt == "raw":
+        return raw
+    if fmt == "png":
+        return zlib.compress(raw, level)
+    if fmt == "jpeg":
+        q = (pixels // _QUANT_STEP).astype(np.uint8)
+        return zlib.compress(q.tobytes(), level)
+    raise NotImplementedError(
+        f"fmt {fmt!r}: real image encoding requires PIL (absent in this container)"
+    )
+
+
+def decode(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+    """Decode to an (h, w, 3) uint8 pixel array."""
+    n = h * w * 3
+    if fmt == "raw":
+        return np.frombuffer(data, dtype=np.uint8, count=n).reshape(h, w, 3)
+    if fmt == "png":
+        return np.frombuffer(zlib.decompress(data), dtype=np.uint8, count=n).reshape(h, w, 3)
+    if fmt == "jpeg":
+        q = np.frombuffer(zlib.decompress(data), dtype=np.uint8, count=n).reshape(h, w, 3)
+        # dequantize to bin centers: 4*q + 1 (max err 2, PSNR ~= 42-48 dB)
+        return (q.astype(np.uint16) * _QUANT_STEP + _QUANT_STEP // 2 - 1).clip(0, 255).astype(
+            np.uint8
+        )
+    if _HAVE_PIL:  # pragma: no cover
+        import io
+
+        import PIL.Image
+
+        return np.asarray(PIL.Image.open(io.BytesIO(data)).convert("RGB"))
+    raise NotImplementedError(
+        f"fmt {fmt!r}: real image decoding requires PIL (absent in this container)"
+    )
+
+
+def is_lossless(fmt: str) -> bool:
+    return fmt in ("raw", "png")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB between two uint8 pixel arrays."""
+    diff = a.astype(np.float64) - b.astype(np.float64)
+    mse = float(np.mean(diff * diff))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 / mse)

@@ -1,0 +1,246 @@
+"""Unit tests for the pure kernels (SURVEY.md section 5, reference
+microbenchmarks 1-5: README.md:2343-2700). No Ray needed."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from hmse_ray.config import DEFAULT_CONFIG as CFG
+from hmse_ray.config import Config
+from hmse_ray.functions import (
+    compress,
+    delta,
+    fastcdc,
+    imagecodec,
+    lshmath,
+    minhash,
+    murmur3,
+    simhash,
+)
+
+RNG = np.random.default_rng(42)
+RAND_1MB = RNG.integers(0, 256, 1_000_000, dtype=np.uint8).tobytes()
+
+
+class TestMurmur3:
+    def test_public_vectors(self):
+        # public MurmurHash3_x86_32 test vectors
+        assert murmur3.murmur3_bytes(b"", 0) == 0
+        assert murmur3.murmur3_bytes(b"abc", 0) == 0xB3DD93FA
+        assert murmur3.murmur3_bytes(b"hello", 0) == 0x248BFA47
+        assert murmur3.murmur3_bytes(b"Hello, world!", 1234) == 0xFAF6CDB3
+
+    def test_vectorized_matches_scalar(self):
+        keys = RNG.integers(0, 2**32, 100, dtype=np.uint32)
+        for seed in (0, 1, 128, 0xDEADBEEF):
+            vec = murmur3.murmur3_u32(keys, seed)
+            for k, v in zip(keys[:10], vec[:10]):
+                assert int(v) == murmur3.murmur3_bytes(int(k).to_bytes(4, "little"), seed)
+
+
+class TestFastCDC:
+    def test_chunk_size_band(self):
+        # reference acceptance band 3.5-4.5 KB mean (README.md:2510-2514)
+        lens = np.array([l for _, l in fastcdc.chunk_boundaries(RAND_1MB, CFG)])
+        assert 3500 <= lens.mean() <= 4500
+        assert lens.min() >= 1  # last chunk may be short
+        assert lens[:-1].min() >= CFG.chunk_min
+        assert lens.max() <= CFG.chunk_max
+
+    def test_lossless_partition(self):
+        bnds = fastcdc.chunk_boundaries(RAND_1MB, CFG)
+        assert bnds[0][0] == 0
+        assert sum(l for _, l in bnds) == len(RAND_1MB)
+        for (o1, l1), (o2, _) in zip(bnds, bnds[1:]):
+            assert o1 + l1 == o2
+        assert b"".join(fastcdc.chunk_bytes(RAND_1MB, CFG)) == RAND_1MB
+
+    def test_determinism(self):
+        assert fastcdc.chunk_boundaries(RAND_1MB, CFG) == fastcdc.chunk_boundaries(RAND_1MB, CFG)
+
+    def test_shift_resistance(self):
+        # README.md:1254: inserting bytes must only move local boundaries
+        shifted = RAND_1MB[:5000] + b"0123456789abcdef" + RAND_1MB[5000:]
+        o1 = {o for o, _ in fastcdc.chunk_boundaries(RAND_1MB, CFG) if o > 30000}
+        o2 = {o - 16 for o, _ in fastcdc.chunk_boundaries(shifted, CFG) if o > 30000}
+        resync = len(o1 & o2) / max(1, len(o1))
+        assert resync >= 0.99
+
+    def test_small_inputs(self):
+        assert fastcdc.chunk_boundaries(b"", CFG) == []
+        assert fastcdc.chunk_boundaries(b"x", CFG) == [(0, 1)]
+        assert fastcdc.chunk_boundaries(b"x" * CFG.chunk_min, CFG) == [(0, CFG.chunk_min)]
+
+
+class TestMinHash:
+    def test_matches_scalar_murmur(self):
+        d = RAND_1MB[:256]
+        sig = minhash.signature(d, CFG)
+        sh = minhash.shingles_u32(d)
+        for j, seed in enumerate(range(1, 129)):
+            ref = min(murmur3.murmur3_bytes(int(s).to_bytes(4, "little"), seed) for s in sh)
+            assert int(sig[j]) == ref
+
+    def test_identical_inputs_identical_sigs(self):
+        s1, s2 = minhash.signatures([RAND_1MB[:4096], RAND_1MB[:4096]], CFG)
+        assert (s1 == s2).all()
+
+    def test_jaccard_estimate_tracks_true_jaccard(self):
+        base = (b"the quick brown fox jumps over the lazy dog %d " % 7) * 100
+        # flip a fraction of tokens to hit a known approximate jaccard
+        variant = base.replace(b"lazy", b"hazy")
+        sa, sb = minhash.signatures([base, variant], CFG)
+        a, b = set(map(int, minhash.shingles_u32(base))), set(
+            map(int, minhash.shingles_u32(variant))
+        )
+        true_j = len(a & b) / len(a | b)
+        est = minhash.estimate_jaccard(sa, sb)
+        assert abs(est - true_j) < 0.12  # n=128 -> se ~= sqrt(j(1-j)/128) ~= 0.04
+
+    def test_band_hashes_shape_and_determinism(self):
+        sigs = minhash.signatures([RAND_1MB[:1000], RAND_1MB[500:1500]], CFG)
+        bh = minhash.band_hashes(sigs, CFG)
+        assert bh.shape == (2, 4)
+        assert (bh == minhash.band_hashes(sigs, CFG)).all()
+        same = minhash.band_hashes(np.stack([sigs[0], sigs[0]]), CFG)
+        assert (same[0] == same[1]).all()
+
+    def test_empty_doc(self):
+        sig = minhash.signatures([b""], CFG)
+        assert sig.shape == (1, 128)
+
+
+class TestLSHMath:
+    def test_reference_formula(self):
+        # README.md:2261: P = 1-(1-s^32)^4. NOTE: the reference's own
+        # tabulated values (README.md:2250-2258, e.g. 0.069 @ s=0.80) are
+        # arithmetically inconsistent with its own formula; we implement
+        # the formula. True values: 0.0032 @ 0.80, 0.130 @ 0.90, 0.578 @ 0.95.
+        for s, p in [(0.80, 0.003165), (0.90, 0.130250), (0.95, 0.577368), (0.99, 0.993637)]:
+            assert lshmath.detection_probability(s, CFG) == pytest.approx(p, abs=0.001)
+
+    def test_empirical_collision_rate_matches_theory(self):
+        # build pairs at controlled jaccard via shared shingle subsets
+        rng = np.random.default_rng(7)
+        s_target = 0.90
+        hits = trials = 0
+        for _ in range(200):
+            n_shared = 900
+            n_each = int(n_shared / s_target - n_shared) // 2 + n_shared
+            univ = rng.integers(0, 2**32, 4 * n_each, dtype=np.uint32)
+            shared = univ[:n_shared]
+            a = np.union1d(shared, univ[n_shared : n_shared + (n_each - n_shared)])
+            b = np.union1d(
+                shared, univ[2 * n_each : 2 * n_each + (n_each - n_shared)]
+            )
+            sa = _sig_from_shingles(a)
+            sb = _sig_from_shingles(b)
+            bh = minhash.band_hashes(np.stack([sa, sb]), CFG)
+            trials += 1
+            hits += bool((bh[0] == bh[1]).any())
+        true_j = n_shared / (2 * n_each - n_shared)
+        expect = lshmath.detection_probability(true_j, CFG)
+        assert abs(hits / trials - expect) < 0.12
+
+
+def _sig_from_shingles(sh: np.ndarray) -> np.ndarray:
+    k = murmur3.premix_u32(np.unique(sh))
+    seeds = minhash.seeds_for(CFG)
+    return murmur3.hash_premixed(k, seeds).min(axis=1)
+
+
+class TestCompress:
+    def test_roundtrip(self):
+        text = b"repetitive text " * 1000
+        payload, env = compress.compress_record(text, CFG)
+        assert env == compress.COMPRESSED
+        assert len(payload) < len(text) / 10
+        assert compress.decompress_record(payload, env) == text
+
+    def test_incompressible_passthrough(self):
+        # README.md:2138-2145: random data stored as-is at 1:1
+        payload, env = compress.compress_record(RAND_1MB[:4096], CFG)
+        assert env == compress.STORED
+        assert payload == RAND_1MB[:4096]
+
+
+class TestDelta:
+    def test_roundtrip_and_threshold(self):
+        base = (b"some moderately long paragraph of text, number %d. " % 3) * 200
+        target = base[:500] + b"A SMALL EDIT" + base[500:]
+        d = delta.delta_encode(base, target, CFG)
+        assert d is not None and len(d) <= 0.2 * len(target)
+        assert delta.delta_apply(base, d) == target
+
+    def test_dissimilar_rejected(self):
+        a, b = RAND_1MB[:4096], RAND_1MB[4096:8192]
+        assert delta.delta_encode(a, b, CFG) is None
+
+    def test_trichotomy(self):
+        base = b"abc " * 2000
+        t = base[:100] + b"x" + base[100:]
+        assert delta.choose_store_kind(base, True, None, CFG)[0] == delta.KIND_POINTER
+        kind, d = delta.choose_store_kind(t, False, base, CFG)
+        assert kind == delta.KIND_DELTA and d is not None
+        kind, d = delta.choose_store_kind(RAND_1MB[:4096], False, base, CFG)
+        assert kind == delta.KIND_FULL and d is None
+
+
+class TestImageCodec:
+    def _pixels(self, seed=0):
+        return np.random.default_rng(seed).integers(0, 256, (48, 64, 3), dtype=np.uint8)
+
+    def test_lossless_roundtrip(self):
+        px = self._pixels()
+        for fmt in ("raw", "png"):
+            dec = imagecodec.decode(imagecodec.encode(px, fmt), 64, 48, fmt)
+            assert (dec == px).all()
+
+    def test_lossy_psnr_above_invariant(self):
+        px = self._pixels()
+        dec = imagecodec.decode(imagecodec.encode(px, "jpeg"), 64, 48, "jpeg")
+        assert imagecodec.psnr(px, dec) >= CFG.psnr_min_db
+
+    def test_unknown_format_raises(self):
+        with pytest.raises(NotImplementedError):
+            imagecodec.encode(self._pixels(), "webp")
+
+
+class TestSimHash:
+    def test_near_vs_far(self):
+        rng = np.random.default_rng(3)
+        px = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        near = px.copy()
+        near[:2, :2] = 0
+        far = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        proj = simhash.projection_matrix(CFG)
+        s = np.array(
+            [simhash.simhash64(p, proj, CFG) for p in (px, near, far)], dtype=np.int64
+        )
+        d_near = simhash.hamming64(s[:1], s[1:2])[0]
+        d_far = simhash.hamming64(s[:1], s[2:3])[0]
+        assert d_near <= CFG.simhash_hamming_threshold
+        assert d_far > CFG.simhash_hamming_threshold
+
+    def test_phash_deterministic(self):
+        px = self_px = np.random.default_rng(5).integers(0, 256, (32, 32, 3), dtype=np.uint8)
+        assert simhash.phash64(px) == simhash.phash64(self_px)
+
+    def test_band_cols(self):
+        sims = np.array([0, -1, 0x0123456789ABCDEF], dtype=np.int64)
+        cols = simhash.simhash_band_cols(sims, CFG)
+        assert cols.shape == (3, 4)
+        assert cols[1].tolist() == [0xFFFF] * 4
+
+
+class TestConfig:
+    def test_invalid_banding_rejected(self):
+        with pytest.raises(ValueError):
+            Config(num_bands=5)
+
+    def test_ablations(self):
+        from hmse_ray.config import ABLATION_CONFIGS
+
+        assert not ABLATION_CONFIGS["l1_only"].enable_l4
+        assert ABLATION_CONFIGS["full"].enable_l3
