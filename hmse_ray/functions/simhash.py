@@ -32,18 +32,20 @@ def luma_grid(pixels: np.ndarray, grid: int) -> np.ndarray:
     """Mean luma on a (grid x grid) downsample -> (grid*grid,) float64."""
     h, w, _ = pixels.shape
     y = pixels.astype(np.float64) @ _LUMA  # (h, w)
-    # integral-image box means over an even grid partition
+    if h % grid == 0 and w % grid == 0:
+        # fast path: exact block means via reshape
+        return (
+            y.reshape(grid, h // grid, grid, w // grid).mean(axis=(1, 3)).ravel()
+        )
+    # general path: integral-image box means over an even partition
     ys = np.linspace(0, h, grid + 1).astype(int)
     xs = np.linspace(0, w, grid + 1).astype(int)
-    out = np.empty((grid, grid))
     ii = np.zeros((h + 1, w + 1))
     np.cumsum(np.cumsum(y, axis=0), axis=1, out=ii[1:, 1:])
-    for i in range(grid):
-        for j in range(grid):
-            y0, y1, x0, x1 = ys[i], ys[i + 1], xs[j], xs[j + 1]
-            area = max(1, (y1 - y0) * (x1 - x0))
-            out[i, j] = (ii[y1, x1] - ii[y0, x1] - ii[y1, x0] + ii[y0, x0]) / area
-    return out.ravel()
+    s = ii[ys][:, xs]  # (grid+1, grid+1) corner sums
+    box = s[1:, 1:] - s[:-1, 1:] - s[1:, :-1] + s[:-1, :-1]
+    area = np.outer(np.diff(ys), np.diff(xs)).clip(min=1)
+    return (box / area).ravel()
 
 
 def phash64(pixels: np.ndarray) -> int:
