@@ -1,0 +1,85 @@
+"""The flagship write-path pipeline (SURVEY.md sections 3.1, 4.2).
+
+read(images) -> [L2+L3] chunk+sha -> groupby(sha) exact dedup (shuffle 1)
+             -> [L4] MinHash actor pool (captions) + SimHash actor pool
+                (pixels) -> LSH band membership -> bipartite min-label
+                clustering (shuffles 2..k) -> cluster assignments
+             -> storage accounting metrics.
+
+Everything streams; only final small aggregates are materialized.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data as rd
+
+from hmse_ray.config import Config, DEFAULT_CONFIG
+from hmse_ray.stages import chunking, clustering, exact_dedup, lsh, signatures
+
+
+def read_images(path_or_table, columns=None):
+    """images source: parquet path (directory or file) or in-memory table.
+
+    The production target is ``ray.data.read_lance``; lance is not
+    installed in this container, so parquet is the storage format here
+    (same columnar semantics; column pruning via ``columns=``).
+    """
+    if isinstance(path_or_table, pa.Table):
+        t = path_or_table.select(columns) if columns else path_or_table
+        return rd.from_arrow(t)
+    return rd.read_parquet(path_or_table, columns=columns)
+
+
+def candidate_pair_edges(images_ds, cfg: Config = DEFAULT_CONFIG, *,
+                         use_simhash: bool = True, concurrency=None,
+                         num_salts: int = 1):
+    """images -> verified candidate pairs (id_a, id_b, jaccard_est):
+    union of the caption MinHash path and the image SimHash path."""
+    mh = signatures.minhash_stage(images_ds, cfg, concurrency=concurrency)
+    pairs = lsh.candidate_pairs(mh, cfg, num_salts=num_salts)
+    if use_simhash:
+        sh = signatures.simhash_stage(images_ds, cfg, concurrency=concurrency)
+        pairs = pairs.union(lsh.simhash_candidate_pairs(sh, cfg, num_salts=num_salts))
+    return pairs
+
+
+def cluster_assignments(images_ds, cfg: Config = DEFAULT_CONFIG, *,
+                        use_simhash: bool = True, concurrency=None,
+                        num_salts: int = 1,
+                        force_distributed: bool | None = None):
+    """images Dataset -> (image_id, cluster_id) Dataset (all images).
+
+    Candidate edges are VERIFIED before clustering (Jaccard estimate >=
+    threshold / SimHash Hamming <= threshold) — a band collision alone
+    is a candidate, not a duplicate (README.md:1553-1576).
+    """
+    pairs = candidate_pair_edges(
+        images_ds, cfg, use_simhash=use_simhash, concurrency=concurrency,
+        num_salts=num_salts,
+    )
+    return clustering.cluster_from_edges(
+        pairs, images_ds, cfg, force_distributed=force_distributed
+    )
+
+
+def chunk_index(images_ds, cfg: Config = DEFAULT_CONFIG):
+    """images Dataset -> canonical chunk index (sha256, canonical_ref,
+    refcount, chunk_len) via the exact-dedup shuffle."""
+    chunks = chunking.chunk_stage(images_ds, cfg)
+    return exact_dedup.dedup_chunks(chunks, cfg)
+
+
+def flagship(images_ds, cfg: Config = DEFAULT_CONFIG, *,
+             use_simhash: bool = True, concurrency=None):
+    """Full write path; returns dict of result Datasets.
+
+    keys: clusters (image_id, cluster_id), chunk_index, dedup_stats.
+    """
+    clusters = cluster_assignments(
+        images_ds, cfg, use_simhash=use_simhash, concurrency=concurrency
+    )
+    index = chunk_index(images_ds, cfg)
+    stats = exact_dedup.dedup_stats(index)
+    return {"clusters": clusters, "chunk_index": index, "dedup_stats": stats}

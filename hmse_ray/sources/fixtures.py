@@ -46,6 +46,7 @@ from hmse_ray.config import Config, DEFAULT_CONFIG
 from hmse_ray.functions import imagecodec, minhash, simhash
 
 IMG_W, IMG_H = 64, 48
+FIXTURE_VERSION = 2  # bump when generation logic changes (invalidates /tmp cache)
 
 IMAGES_SCHEMA = pa.schema(
     [
@@ -89,16 +90,14 @@ def _perturb_tokens(rng, tokens: list[str], vocab: list[str], frac: float) -> li
 
 
 def _base_pixels(rng: np.random.Generator) -> np.ndarray:
-    yy, xx = np.mgrid[0:IMG_H, 0:IMG_W]
-    a, b, c = rng.uniform(0.3, 3.0, 3)
-    img = np.stack(
-        [
-            128 + 100 * np.sin(a * xx / IMG_W * np.pi + c),
-            128 + 100 * np.cos(b * yy / IMG_H * np.pi),
-            rng.integers(0, 256, (IMG_H, IMG_W)),
-        ],
-        axis=2,
-    )
+    """Structurally diverse picture: random coarse 12x16 block pattern
+    (drives the perceptual-hash grid features apart between distinct
+    images) upsampled 4x, plus mild fine noise. Distinct draws land
+    ~32 bits apart in SimHash space; small perturbations / lossy
+    re-enceds stay within a few bits."""
+    coarse = rng.integers(0, 256, (IMG_H // 4, IMG_W // 4, 3))
+    img = np.kron(coarse, np.ones((4, 4, 1), dtype=np.int64))
+    img = img + rng.integers(-8, 9, (IMG_H, IMG_W, 3))
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
@@ -267,7 +266,7 @@ def fixture_dir(n_rows: int, seed: int = 42, root: str = "/tmp/hmse_fixtures") -
     Cached by (n_rows, seed) — generation is deterministic so the cache
     is always valid.
     """
-    d = os.path.join(root, f"n{n_rows}_s{seed}")
+    d = os.path.join(root, f"v{FIXTURE_VERSION}_n{n_rows}_s{seed}")
     marker = os.path.join(d, "_SUCCESS")
     if not os.path.exists(marker):
         images, gc, gp = generate_images(n_rows, seed)

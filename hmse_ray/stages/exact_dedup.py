@@ -1,0 +1,109 @@
+"""L3 exact dedup: hash-partition + per-group first (J1/A-J/A4).
+
+Reference semantics (README.md:1209-1210, 1288-1293, 1542-1551): probe
+the SHA-256 index; hit -> pointer record to the canonical copy, miss ->
+store + insert, refcount++. The reference serializes on one global
+mutable index; Ray-Data-first this becomes a ``groupby('sha256')``
+shuffle — no shared mutable state, no cache-coherence problem
+(SURVEY.md T4: the PSRAM index cache is eliminated by design).
+
+Canonical row = lexicographic min (image_id, chunk_idx) in the group
+(deterministic "first writer wins"); refcount = group size.
+
+Implementation detail: Ray's ``groupby().map_groups`` sorts each block
+by key and applies the UDF per group — for millions of tiny groups the
+per-group Python overhead dominates, so we instead use
+``map_groups``-free vectorized reduction: sort-based dedup INSIDE
+map_batches after the shuffle... in practice Ray Data >= 2.40 implements
+groupby by hash-partition + sort within blocks; we use
+``groupby(...).map_groups`` only where per-group logic is non-trivial
+and a vectorized two-stage aggregate otherwise:
+
+  stage 1 (map side): per-batch partial dedup — first (id, idx) + count
+           per sha within the batch (combiner; shrinks the shuffle)
+  stage 2 (shuffle): groupby sha over partials, vectorized per-block
+           merge via sort + reduceat in map_batches on repartitioned
+           hash groups.
+
+Ray's built-in ``ds.groupby(key).aggregate`` handles stage 2's
+correctness (Count/Min are built-in aggregates and run partial+final
+internally); we express the canonical pick as Min over a packed
+"(image_id|chunk_idx)" sort key so the whole thing stays in Ray's
+vectorized aggregate path with NO per-group Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Count, Min
+
+from hmse_ray.config import Config, DEFAULT_CONFIG
+
+
+def _pack_ref(batch: pa.Table) -> pa.Table:
+    """Add chunk_ref = 'image_id#chunk_idx' (orderable canonical key)."""
+    ref = pc.binary_join_element_wise(
+        batch["image_id"],
+        pc.utf8_lpad(pc.cast(batch["chunk_idx"], pa.string()), 6, "0"),
+        "#",
+    )
+    return batch.append_column("chunk_ref", ref)
+
+
+def dedup_chunks(chunks_ds, cfg: Config = DEFAULT_CONFIG):
+    """chunks Dataset -> canonical chunk index Dataset.
+
+    Output columns: sha256, canonical_ref ('image_id#chunk_idx' of the
+    winning copy), refcount (int64), chunk_len.
+
+    This is THE exact-dedup shuffle (shuffle 1 of SURVEY.md section 4.2).
+    Entirely vectorized: no per-group Python anywhere.
+    """
+    packed = chunks_ds.map_batches(_pack_ref, batch_format="pyarrow")
+    return packed.groupby("sha256").aggregate(
+        Min("chunk_ref", alias_name="canonical_ref"),
+        Count(alias_name="refcount"),
+        Min("chunk_len", alias_name="chunk_len"),
+    )
+
+
+def dedup_stats(index_ds):
+    """Aggregate A2/A6 storage accounting over the canonical index.
+
+    Returns a one-row Dataset: n_unique, n_total, unique_ratio,
+    logical_bytes, physical_bytes, dedup_ratio.
+    """
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ref = batch["refcount"].to_numpy()
+        ln = batch["chunk_len"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "n_unique": pa.array([len(ref)], pa.int64()),
+                "n_total": pa.array([int(ref.sum())], pa.int64()),
+                "logical_bytes": pa.array([int((ref * ln).sum())], pa.int64()),
+                "physical_bytes": pa.array([int(ln.sum())], pa.int64()),
+            }
+        )
+
+    def merge(batch: pa.Table) -> pa.Table:
+        t = {c: pc.sum(batch[c]).as_py() or 0 for c in batch.column_names}
+        n_u, n_t = t["n_unique"], t["n_total"]
+        lb, pb = t["logical_bytes"], t["physical_bytes"]
+        return pa.table(
+            {
+                "n_unique": pa.array([n_u], pa.int64()),
+                "n_total": pa.array([n_t], pa.int64()),
+                "unique_ratio": pa.array([n_u / max(1, n_t)], pa.float64()),
+                "logical_bytes": pa.array([lb], pa.int64()),
+                "physical_bytes": pa.array([pb], pa.int64()),
+                "dedup_ratio": pa.array([lb / max(1, pb)], pa.float64()),
+            }
+        )
+
+    partials = index_ds.map_batches(stats, batch_format="pyarrow")
+    # tiny: one row per block — safe to collapse through a single batch
+    return partials.repartition(1).map_batches(merge, batch_format="pyarrow", batch_size=None)

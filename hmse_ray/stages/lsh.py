@@ -1,0 +1,270 @@
+"""L4 LSH banding: bucket materialization, candidate pairs, salting (J2/T5).
+
+Reference semantics (README.md:1553-1576, 1929-1945): each record's
+n=128 signature is split into b=4 bands of r=32 rows; records colliding
+in any band bucket are candidate near-duplicates; candidates are
+verified by the signature-agreement Jaccard estimate, then delta-encoded.
+The reference holds band tables as a shared in-memory index; Ray-Data-
+first the bucket IS the shuffle group: ``groupby(band_id, band_hash)``
+(SURVEY.md T5 — no materialized band tables anywhere).
+
+Skew (README.md:1929-1932 acknowledges ~165 chunks/bucket average and
+unhandled hot buckets): rows are SALTED before the shuffle —
+``salt = murmur3(image_id) % num_salts`` — splitting every bucket into
+bounded sub-buckets. Star edges are emitted per sub-bucket (linear, not
+quadratic, in bucket size), and a second, much smaller pass connects the
+sub-bucket representatives of each original bucket. With num_salts=1
+(test scale) the second pass is skipped. At 10^12-row scale, size
+num_salts so hot-bucket sub-groups fit a task's heap.
+
+Two candidate-generation paths are provided:
+
+* ``candidate_pairs`` — star edges (bucket representative vs member)
+  with vectorized Jaccard verification inside map_groups; feeds the
+  delta-encoding join and the A3 hit-rate metric.
+* ``membership_rows`` — narrow (image_id, bucket) rows for the fully
+  vectorized bipartite min-label clustering in stages.clustering (no
+  map_groups, combiner-based aggregates only: the skew-proof path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from hmse_ray.config import Config, DEFAULT_CONFIG
+from hmse_ray.functions import murmur3, simhash
+
+# distinct multipliers mix band_id into the 64-bit bucket key space;
+# collisions across bands are ~2^-64 and only cost a false candidate
+_BAND_MIX = np.uint64(0xA24BAED4963EE407)
+_SIMHASH_MIX = np.uint64(0x9FB21C651E98DF25)
+
+
+def _salt_of(ids: pa.Array, num_salts: int) -> np.ndarray:
+    if num_salts <= 1:
+        return np.zeros(len(ids), dtype=np.uint64)
+    return np.array(
+        [murmur3.murmur3_bytes(s.encode(), 0xBEEF) % num_salts for s in ids.to_pylist()],
+        dtype=np.uint64,
+    )
+
+
+def band_explode(sig_batch: pa.Table, cfg: Config, num_salts: int = 1,
+                 carry_sig: bool = True) -> pa.Table:
+    """One signed row -> b rows (image_id, bucket, [minhash]).
+
+    bucket = band_hash * MIX + band_id + salt-mixed — a single int64 key
+    so downstream shuffles never group on composite string keys.
+    """
+    n = sig_batch.num_rows
+    b = cfg.num_bands
+    ids = sig_batch["image_id"]
+    salts = _salt_of(ids, num_salts)
+    buckets = np.empty((b, n), dtype=np.uint64)
+    for band in range(b):
+        bh = sig_batch[f"band_h{band}"].to_numpy().view(np.uint64)
+        buckets[band] = (bh * _BAND_MIX + np.uint64(band)) * np.uint64(num_salts) + salts
+    cols = {
+        "image_id": pa.concat_arrays([ids.combine_chunks()] * b)
+        if isinstance(ids, pa.ChunkedArray)
+        else pa.concat_arrays([ids] * b),
+        "bucket": pa.array(buckets.ravel().view(np.int64), pa.int64()),
+    }
+    if carry_sig and "minhash" in sig_batch.column_names:
+        mh = sig_batch["minhash"].combine_chunks()
+        cols["minhash"] = pa.concat_arrays([mh] * b)
+    return pa.table(cols)
+
+
+def simhash_band_explode(sim_batch: pa.Table, cfg: Config, num_salts: int = 1) -> pa.Table:
+    """SimHash rows -> (image_id, bucket) rows: 4 x 16-bit bands.
+
+    By pigeonhole, images with Hamming distance <= num_bands-1 always
+    share an intact band; planted near-dups (ham <= 3) are guaranteed
+    candidates.
+    """
+    ids = sim_batch["image_id"]
+    salts = _salt_of(ids, num_salts)
+    bands = simhash.simhash_band_cols(
+        sim_batch["simhash"].to_numpy(), cfg
+    )  # (n, bands) uint64
+    nb = bands.shape[1]
+    buckets = np.empty((nb, len(salts)), dtype=np.uint64)
+    for band in range(nb):
+        buckets[band] = (
+            (bands[:, band] * _SIMHASH_MIX + np.uint64(band + 1000)) * np.uint64(num_salts)
+            + salts
+        )
+    ids_cc = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+    return pa.table(
+        {
+            "image_id": pa.concat_arrays([ids_cc] * nb),
+            "bucket": pa.array(buckets.ravel().view(np.int64), pa.int64()),
+        }
+    )
+
+
+def membership_rows(minhash_ds, simhash_ds, cfg: Config = DEFAULT_CONFIG):
+    """Narrow (image_id, bucket) membership for bipartite clustering.
+
+    NO salting here, by design: the bipartite min-label path uses only
+    combiner-based Min aggregates, which pre-aggregate hot buckets
+    map-side before the shuffle — salting would instead SPLIT clusters.
+    Salting exists for the map_groups candidate-pair path, where a whole
+    bucket lands in one task.
+    """
+    m = minhash_ds.map_batches(
+        lambda t: band_explode(t, cfg, 1, carry_sig=False),
+        batch_format="pyarrow",
+    )
+    if simhash_ds is not None:
+        s = simhash_ds.map_batches(
+            lambda t: simhash_band_explode(t, cfg, 1),
+            batch_format="pyarrow",
+        )
+        m = m.union(s)
+    return m
+
+
+def _star_edges_group(group: pa.Table, cfg: Config) -> pa.Table:
+    """Verified star edges for one bucket group (vectorized).
+
+    Representative = lexicographic min image_id; edge (rep, x) kept when
+    the signature-agreement Jaccard estimate >= cfg.jaccard_threshold.
+    Linear in group size (J2 without the quadratic within-bucket join).
+    """
+    n = group.num_rows
+    empty = pa.table(
+        {
+            "id_a": pa.array([], pa.string()),
+            "id_b": pa.array([], pa.string()),
+            "jaccard_est": pa.array([], pa.float64()),
+        }
+    )
+    if n < 2:
+        return empty
+    ids = group["image_id"].to_pylist()
+    rep_i = int(np.argmin(np.asarray(ids, dtype=object)))
+    sigs = np.asarray(group["minhash"].combine_chunks().flatten()).reshape(n, -1)
+    est = (sigs == sigs[rep_i]).mean(axis=1)
+    keep = (est >= cfg.jaccard_threshold) & (np.arange(n) != rep_i)
+    if not keep.any():
+        return empty
+    rep = ids[rep_i]
+    others = [ids[i] for i in np.nonzero(keep)[0]]
+    return pa.table(
+        {
+            "id_a": pa.array([min(rep, o) for o in others], pa.string()),
+            "id_b": pa.array([max(rep, o) for o in others], pa.string()),
+            "jaccard_est": pa.array(est[keep], pa.float64()),
+        }
+    )
+
+
+def _simhash_star_group(group: pa.Table, cfg: Config) -> pa.Table:
+    """Verified star edges for one SimHash bucket: Hamming <= threshold.
+
+    A band collision alone is NOT evidence of near-duplication (a 16-bit
+    band agreeing happens readily between smooth images); the Hamming
+    check against the representative is the verification step, mirroring
+    the Jaccard verification on the MinHash path (README.md:1553-1576:
+    candidate -> verify -> link).
+    """
+    n = group.num_rows
+    empty = pa.table(
+        {
+            "id_a": pa.array([], pa.string()),
+            "id_b": pa.array([], pa.string()),
+            "jaccard_est": pa.array([], pa.float64()),
+        }
+    )
+    if n < 2:
+        return empty
+    ids = group["image_id"].to_pylist()
+    rep_i = int(np.argmin(np.asarray(ids, dtype=object)))
+    sims = group["simhash"].to_numpy()
+    ham = simhash.hamming64(sims, np.repeat(sims[rep_i], n))
+    keep = (ham <= cfg.simhash_hamming_threshold) & (np.arange(n) != rep_i)
+    if not keep.any():
+        return empty
+    rep = ids[rep_i]
+    others = [ids[i] for i in np.nonzero(keep)[0]]
+    sim_frac = 1.0 - ham[keep] / 64.0
+    return pa.table(
+        {
+            "id_a": pa.array([min(rep, o) for o in others], pa.string()),
+            "id_b": pa.array([max(rep, o) for o in others], pa.string()),
+            "jaccard_est": pa.array(sim_frac, pa.float64()),
+        }
+    )
+
+
+def simhash_candidate_pairs(simhash_ds, cfg: Config = DEFAULT_CONFIG, num_salts: int = 1):
+    """Verified image near-dup pairs: (id_a, id_b, jaccard_est=1-ham/64)."""
+    bands = simhash_ds.map_batches(
+        lambda t: _simhash_bands_with_payload(t, cfg, num_salts), batch_format="pyarrow"
+    )
+    edges = bands.groupby("bucket").map_groups(
+        lambda g: _simhash_star_group(g, cfg), batch_format="pyarrow"
+    )
+    from ray.data.aggregate import Max
+
+    return edges.groupby(["id_a", "id_b"]).aggregate(Max("jaccard_est", alias_name="jaccard_est"))
+
+
+def _simhash_bands_with_payload(sim_batch: pa.Table, cfg: Config, num_salts: int) -> pa.Table:
+    t = simhash_band_explode(sim_batch, cfg, num_salts)
+    sims = sim_batch["simhash"].combine_chunks() if isinstance(
+        sim_batch["simhash"], pa.ChunkedArray
+    ) else sim_batch["simhash"]
+    nb = t.num_rows // sim_batch.num_rows
+    return t.append_column("simhash", pa.concat_arrays([sims] * nb))
+
+
+def _rep_row_group(group: pa.Table, num_salts: int) -> pa.Table:
+    """Sub-bucket representative row, re-keyed to the parent bucket."""
+    ids = group["image_id"].to_pylist()
+    rep_i = int(np.argmin(np.asarray(ids, dtype=object)))
+    parent = (group["bucket"].to_numpy()[:1].view(np.uint64) // np.uint64(num_salts)).view(
+        np.int64
+    )
+    return pa.table(
+        {
+            "image_id": pa.array([ids[rep_i]], pa.string()),
+            "bucket": pa.array(parent, pa.int64()),
+            "minhash": group["minhash"].combine_chunks().slice(rep_i, 1),
+        }
+    )
+
+
+def candidate_pairs(minhash_ds, cfg: Config = DEFAULT_CONFIG, num_salts: int = 1):
+    """Verified candidate pair Dataset: (id_a, id_b, jaccard_est), deduped.
+
+    SHUFFLE 2 of SURVEY.md section 4.2: band explode -> groupby(bucket)
+    -> per-group star edges with Jaccard verification. The same pair can
+    surface from several bands — deduped by a final groupby.
+
+    With num_salts > 1 (hot-bucket skew at scale), a second, much
+    smaller pass links the sub-bucket representatives of each parent
+    bucket so recall across sub-buckets is preserved.
+    """
+    bands = minhash_ds.map_batches(
+        lambda t: band_explode(t, cfg, num_salts, carry_sig=True),
+        batch_format="pyarrow",
+    )
+    edges = bands.groupby("bucket").map_groups(
+        lambda g: _star_edges_group(g, cfg), batch_format="pyarrow"
+    )
+    if num_salts > 1:
+        reps = bands.groupby("bucket").map_groups(
+            lambda g: _rep_row_group(g, num_salts), batch_format="pyarrow"
+        )
+        link_edges = reps.groupby("bucket").map_groups(
+            lambda g: _star_edges_group(g, cfg), batch_format="pyarrow"
+        )
+        edges = edges.union(link_edges)
+    from ray.data.aggregate import Max
+
+    return edges.groupby(["id_a", "id_b"]).aggregate(Max("jaccard_est", alias_name="jaccard_est"))
