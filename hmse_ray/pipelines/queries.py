@@ -1,0 +1,658 @@
+"""Per-operator query surface for the driver correctness gate.
+
+Each function takes ``sf_dir`` (a /root/testdata/sf* directory) and
+returns a Dataset / DataFrame / Table. ORACLES maps the SQL-expressible
+subset to equivalent DuckDB SQL over the same parquet views; column
+names match exactly (the driver hashes values after sorting columns by
+name). Non-SQL-expressible operators (content-defined chunking,
+MinHash/LSH, fingerprints, compression) are rows-only checks.
+
+Operator coverage map (SURVEY.md section 2 -> query):
+  J1/O4 exact dedup ........ exact_dedup_docs, cdc_chunk_index
+  M3 chunking .............. fixed_chunk_histogram (SQL), cdc_chunk_stats
+  A1 compression factor .... compression_accounting
+  A2/A4 refcounts .......... fixed_chunk_histogram, cdc_chunk_index
+  A5 chunk-size stats ...... cdc_chunk_stats
+  T1/J2/M6 MinHash+LSH ..... minhash_doc_pairs, doc_clusters
+  sort/limit (sec 2.6) ..... top_longest_docs
+  sampling O1 .............. sample_docs
+  grouped agg (sec 2.5) .... dup_ratio_by_source, events_window_agg
+  join (sec 2.4) ........... orders_by_segment (broadcast hash join)
+  streaming window (guide) . events_window_agg
+  text analysis (graft) .... token_counts, char_class_profile,
+                             lang_id_docs, quality_docs, doc_fingerprints
+  similarity search ........ ann_topk (brute-force cosine), ann_topk_lsh
+  flagship ................. image_clusters (images derived from documents)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from hmse_ray.config import DEFAULT_CONFIG as CFG
+from hmse_ray.functions import fastcdc, textstats
+from hmse_ray.stages import chunking, exact_dedup
+
+FIXED_CHUNK = 1024
+
+
+def _docs(sf_dir, columns=None):
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------- exact dedup
+
+
+def exact_dedup_docs(sf_dir):
+    """J1: sha256(text) -> canonical doc + refcount (hash-partition +
+    per-group first, fully vectorized aggregate)."""
+
+    def sha(batch: pa.Table) -> pa.Table:
+        hs = [hashlib.sha256(t.encode()).hexdigest() for t in batch["text"].to_pylist()]
+        return pa.table({"sha256": pa.array(hs, pa.string()), "doc_id": batch["doc_id"]})
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(sha, batch_format="pyarrow")
+        .groupby("sha256")
+        .aggregate(Min("doc_id", alias_name="canonical_id"), Count(alias_name="refcount"))
+    )
+
+
+def _fixed_chunks(sf_dir):
+    """Explode documents into fixed 1024-byte chunks (SQL-expressible
+    chunking variant used for oracle checks of the explode+shuffle path)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, texts = batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        o_id, o_idx, o_sha = [], [], []
+        for did, t in zip(ids, texts):
+            data = t.encode()
+            for ci in range(0, max(1, -(-len(data) // FIXED_CHUNK))):
+                cb = data[ci * FIXED_CHUNK : (ci + 1) * FIXED_CHUNK]
+                o_id.append(did)
+                o_idx.append(ci)
+                o_sha.append(hashlib.sha256(cb).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(o_id, pa.int64()),
+                "chunk_idx": pa.array(o_idx, pa.int64()),
+                "sha256": pa.array(o_sha, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(explode, batch_format="pyarrow")
+
+
+def fixed_chunk_histogram(sf_dir):
+    """A2/A4: refcount histogram over fixed-size chunk dedup
+    (two-shuffle: groupby sha -> count, then groupby refcount)."""
+    counts = _fixed_chunks(sf_dir).groupby("sha256").aggregate(Count(alias_name="refcount"))
+    return counts.groupby("refcount").aggregate(Count(alias_name="n_chunks"))
+
+
+def cdc_chunk_stats(sf_dir):
+    """A5 (rows-only: content-defined boundaries are not SQL): global
+    FastCDC chunk stats for the documents corpus."""
+    chunks = chunking.chunk_stage(
+        _docs(sf_dir, ["doc_id", "text"]), CFG, text_col="text", id_col="doc_id"
+    )
+    out = chunks.aggregate(
+        Count(alias_name="n_chunks"),
+        Mean("chunk_len", alias_name="mean_len"),
+        Min("chunk_len", alias_name="min_len"),
+        Max("chunk_len", alias_name="max_len"),
+    )
+    return pd.DataFrame([out])
+
+
+def cdc_chunk_index(sf_dir):
+    """J1 over FastCDC chunks (rows-only): canonical chunk index."""
+    chunks = chunking.chunk_stage(
+        _docs(sf_dir, ["doc_id", "text"]), CFG, text_col="text", id_col="doc_id"
+    )
+    return exact_dedup.dedup_chunks(chunks, CFG, id_col="doc_id")
+
+
+def compression_accounting(sf_dir):
+    """A1 (rows-only: zlib not in SQL): per-source L1 compression factor."""
+
+    def comp(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        bin_ = [len(t.encode()) for t in texts]
+        bout = [len(zlib.compress(t.encode(), CFG.deflate_level)) for t in texts]
+        return pa.table(
+            {
+                "source": batch["source"],
+                "bytes_in": pa.array(bin_, pa.int64()),
+                "bytes_out": pa.array(bout, pa.int64()),
+            }
+        )
+
+    agg = (
+        _docs(sf_dir, ["source", "text"])
+        .map_batches(comp, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("bytes_in", alias_name="bytes_in"), Sum("bytes_out", alias_name="bytes_out"))
+    )
+
+    def cf(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "cf",
+            pc.divide(
+                pc.cast(batch["bytes_in"], pa.float64()),
+                pc.cast(batch["bytes_out"], pa.float64()),
+            ),
+        )
+
+    return agg.map_batches(cf, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- text stats
+
+
+def token_counts(sf_dir):
+    """Whitespace token counting (SQL-parity with regexp_split_to_array)."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_tokens": textstats.ws_token_counts(df["text"]).astype("int64"),
+                "n_chars": df["text"].str.len().astype("int64"),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
+def char_class_profile(sf_dir):
+    """Exact char-class counts (integer columns -> exact oracle compare)."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        c = textstats.char_class_counts(df["text"])
+        out = {"doc_id": df["doc_id"]}
+        out.update({k: v.astype("int64") for k, v in c.items()})
+        return pd.DataFrame(out)
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
+def lang_id_docs(sf_dir):
+    """Stopword-vote language ID (rows-only: heuristic, not SQL)."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        langs, conf = textstats.lang_scores(df["text"])
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "lang_pred": langs, "confidence": np.round(conf, 6)}
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
+def quality_docs(sf_dir):
+    """Composite quality score (rows-only)."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "quality": np.round(textstats.quality_scores(df["text"]), 6),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
+def doc_fingerprints(sf_dir):
+    """Winnowing document fingerprints (rows-only)."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "fingerprint": [
+                    textstats.doc_fingerprint64(t) for t in df["text"].fillna("")
+                ],
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
+# -------------------------------------------------------- grouped aggregates
+
+
+def dup_ratio_by_source(sf_dir):
+    """Per-source doc count + distinct text count (n_distinct via a
+    two-level aggregate: dedup shuffle then count)."""
+
+    def sha(batch: pa.Table) -> pa.Table:
+        hs = [hashlib.sha256(t.encode()).hexdigest() for t in batch["text"].to_pylist()]
+        return pa.table({"source": batch["source"], "sha256": pa.array(hs)})
+
+    d = _docs(sf_dir, ["source", "text"]).map_batches(sha, batch_format="pyarrow")
+    per_sha = d.groupby(["source", "sha256"]).aggregate(Count(alias_name="n"))
+    return per_sha.groupby("source").aggregate(
+        Sum("n", alias_name="n_docs"), Count(alias_name="n_distinct")
+    )
+
+
+def top_longest_docs(sf_dir):
+    """Sort + limit with deterministic tiebreak (section 2.6)."""
+    return (
+        _docs(sf_dir, ["doc_id", "n_chars"])
+        .sort(["n_chars", "doc_id"], descending=[True, False])
+        .limit(20)
+    )
+
+
+def sample_docs(sf_dir):
+    """O1 seeded sampling — deterministic hash-based sample (doc_id
+    murmur bucket < 10%), expressible in SQL via the same hash? Not
+    portable — instead modulus sampling, exactly reproducible in SQL."""
+    ds = _docs(sf_dir, ["doc_id", "source"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 15), 0)),
+        batch_format="pyarrow",
+    )
+
+
+def events_window_agg(sf_dir):
+    """Tumbling 5-minute windows per user over the events stream
+    (streaming-shaped workload: window key inside map_batches, then one
+    grouped aggregate)."""
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"]
+    )
+
+    def win(df: pd.DataFrame) -> pd.DataFrame:
+        w = (df["ts"].astype("int64") // 10**6 // 300).astype("int64")
+        return pd.DataFrame({"user_id": df["user_id"], "window": w, "value": df["value"]})
+
+    agg = ev.map_batches(win, batch_format="pandas").groupby(["user_id", "window"]).aggregate(
+        Count(alias_name="n_events"), Sum("value", alias_name="sum_value")
+    )
+
+    def rnd(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("sum_value"),
+            "sum_value",
+            pc.round(t["sum_value"], ndigits=6),
+        )
+
+    return agg.map_batches(rnd, batch_format="pyarrow")
+
+
+def orders_by_segment(sf_dir):
+    """Broadcast hash join (small side via ray.put) + grouped aggregate:
+    revenue per customer market segment."""
+    cust = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+        )
+        .to_pandas()
+    )
+    seg_of = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    )
+
+    def join(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(seg_of)
+        return pd.DataFrame(
+            {
+                "c_mktsegment": df["o_custkey"].map(m),
+                "o_totalprice": df["o_totalprice"],
+            }
+        )
+
+    agg = orders.map_batches(join, batch_format="pandas").groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue")
+    )
+
+    def rnd(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("revenue"), "revenue", pc.round(t["revenue"], ndigits=2)
+        )
+
+    return agg.map_batches(rnd, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- similarity search
+
+
+def _queries_matrix(sf_dir, n_queries=10):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    flt = t.filter(pc.less(t["vec_id"], n_queries))
+    q = np.asarray(flt["embedding"].combine_chunks().to_pylist(), dtype=np.float64)
+    qid = np.asarray(flt["vec_id"])
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    return qid, qn
+
+
+def ann_topk(sf_dir, k=10):
+    """Brute-force cosine top-k per query vector: broadcast query matrix
+    (ray.put once), vectorized matmul per batch, per-batch top-k, final
+    top-k per query in a tiny grouped step."""
+    qid, qn = _queries_matrix(sf_dir)
+    qref = ray.put((qid, qn))
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qids, qmat = ray.get(qref)
+        v = np.asarray(batch["embedding"].combine_chunks().to_pylist(), dtype=np.float64)
+        vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
+        scores = vn @ qmat.T  # (rows, nq)
+        vids = batch["vec_id"].to_numpy()
+        out_q, out_v, out_s = [], [], []
+        topb = min(k, len(vids))
+        for j, qv in enumerate(qids):
+            part = np.argpartition(-scores[:, j], topb - 1)[:topb]
+            out_q.extend([int(qv)] * len(part))
+            out_v.extend(vids[part].tolist())
+            out_s.extend(scores[part, j].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"],
+                "vec_id": g["vec_id"],
+                "score_r": np.round(g["score"], 4),
+            }
+        )
+
+    return (
+        emb.map_batches(score, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(topk, batch_format="pandas")
+    )
+
+
+def ann_topk_lsh(sf_dir, k=10, n_planes=12):
+    """LSH-bucketed ANN (scale path, rows-only): seeded random
+    hyperplane signs bucket vectors; queries scan only multi-probe
+    buckets (exact within-bucket cosine)."""
+    qid, qn = _queries_matrix(sf_dir)
+    rng = np.random.default_rng(CFG.sample_seed)
+    planes = rng.standard_normal((n_planes, qn.shape[1]))
+    qsig = (qn @ planes.T > 0).astype(np.uint32)
+    qbuckets = set()
+    for s in qsig:
+        base = int("".join(map(str, s)), 2)
+        qbuckets.add(base)
+        for b in range(n_planes):  # multi-probe: 1-bit flips
+            qbuckets.add(base ^ (1 << b))
+    qref = ray.put((qid, qn, planes, qbuckets))
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qids, qmat, pl, bset = ray.get(qref)
+        v = np.asarray(batch["embedding"].combine_chunks().to_pylist(), dtype=np.float64)
+        vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
+        bits = (vn @ pl.T > 0).astype(np.uint32)
+        bucket = np.zeros(len(vn), dtype=np.int64)
+        for b in range(bits.shape[1]):
+            bucket = (bucket << 1) | bits[:, b]
+        keep = np.array([int(b_) in bset for b_ in bucket])
+        if not keep.any():
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        vn, vids = vn[keep], batch["vec_id"].to_numpy()[keep]
+        scores = vn @ qmat.T
+        out_q, out_v, out_s = [], [], []
+        for j, qv in enumerate(qids):
+            out_q.extend([int(qv)] * len(vids))
+            out_v.extend(vids.tolist())
+            out_s.extend(scores[:, j].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"],
+                "vec_id": g["vec_id"],
+                "score_r": np.round(g["score"], 4),
+            }
+        )
+
+    return (
+        emb.map_batches(score, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(topk, batch_format="pandas")
+    )
+
+
+def embedding_near_dups(sf_dir, threshold=0.98):
+    """Embedding-cosine near-duplicate pairs (rows-only): LSH-bucketed
+    star comparison, same harness as the text path."""
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    rng = np.random.default_rng(CFG.sample_seed + 1)
+    dim = 64
+    planes = rng.standard_normal((16, dim))
+    pref = ray.put(planes)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        pl = ray.get(pref)
+        v = np.asarray(batch["embedding"].combine_chunks().to_pylist(), dtype=np.float64)
+        vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
+        bits = (vn @ pl.T > 0).astype(np.int64)
+        out = []
+        # 4 bands of 4 planes -> near-identical vectors collide in >=1 band
+        for band in range(4):
+            key = np.zeros(len(vn), dtype=np.int64)
+            for b in range(4):
+                key = (key << 1) | bits[:, band * 4 + b]
+            out.append(
+                pa.table(
+                    {
+                        "bucket": pa.array(key * 8 + band, pa.int64()),
+                        "vec_id": batch["vec_id"],
+                        "embedding": batch["embedding"],
+                    }
+                )
+            )
+        return pa.concat_tables(out)
+
+    def star(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        v = np.asarray(list(g["embedding"]), dtype=np.float64)
+        vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
+        ids = g["vec_id"].to_numpy()
+        rep = int(np.argmin(ids))
+        cos = vn @ vn[rep]
+        keep = (cos >= threshold) & (np.arange(len(ids)) != rep)
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ids[keep], ids[rep]).astype("int64"),
+                "id_b": np.maximum(ids[keep], ids[rep]).astype("int64"),
+                "cosine": np.round(cos[keep], 6),
+            }
+        )
+
+    pairs = (
+        emb.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(star, batch_format="pandas")
+    )
+    return pairs.groupby(["id_a", "id_b"]).aggregate(Max("cosine", alias_name="cosine"))
+
+
+# ------------------------------------------------------------- near-dup text
+
+
+def minhash_doc_pairs(sf_dir):
+    """T1+J2+M6 over the documents table (rows-only): verified MinHash
+    LSH candidate pairs of near-duplicate texts."""
+    from hmse_ray.stages import lsh, signatures
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda t: pa.table(
+            {"image_id": pc.cast(t["doc_id"], pa.string()), "caption": t["text"]}
+        ),
+        batch_format="pyarrow",
+    )
+    mh = signatures.minhash_stage(docs, CFG)
+    return lsh.candidate_pairs(mh, CFG)
+
+
+def doc_clusters(sf_dir):
+    """Near-dup cluster assignment over documents (rows-only)."""
+    from hmse_ray.stages import clustering, lsh, signatures
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda t: pa.table(
+            {"image_id": pc.cast(t["doc_id"], pa.string()), "caption": t["text"]}
+        ),
+        batch_format="pyarrow",
+    )
+    mh = signatures.minhash_stage(docs, CFG)
+    pairs = lsh.candidate_pairs(mh, CFG)
+    return clustering.cluster_from_edges(pairs, docs, CFG)
+
+
+def image_clusters(sf_dir):
+    """Flagship (rows-only): image+caption table derived deterministically
+    from documents -> full dedup cluster assignment."""
+    from hmse_ray.pipelines import dedup
+    from hmse_ray.sources import fixtures
+
+    images = rd.from_arrow(fixtures.images_from_documents(sf_dir))
+    return dedup.cluster_assignments(images, CFG)
+
+
+# ------------------------------------------------------------------ oracles
+
+ORACLES = {
+    "exact_dedup_docs": """
+        SELECT sha256(text) AS sha256, MIN(doc_id) AS canonical_id,
+               COUNT(*) AS refcount
+        FROM documents GROUP BY sha256(text)
+    """,
+    "fixed_chunk_histogram": f"""
+        WITH exploded AS (
+          SELECT text,
+                 unnest(generate_series(1,
+                   GREATEST(1, CAST(ceil(length(text)/{FIXED_CHUNK}.0) AS BIGINT)))) AS i
+          FROM documents
+        ), refs AS (
+          SELECT sha256(substr(text, (i-1)*{FIXED_CHUNK}+1, {FIXED_CHUNK})) AS sha,
+                 COUNT(*) AS refcount
+          FROM exploded GROUP BY 1
+        )
+        SELECT refcount, COUNT(*) AS n_chunks FROM refs GROUP BY refcount
+    """,
+    "token_counts": r"""
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+               length(text) AS n_chars
+        FROM documents
+    """,
+    "char_class_profile": r"""
+        SELECT doc_id,
+               length(text) AS n_chars,
+               length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+               length(text) - length(replace(text, ' ', '')) AS n_spaces,
+               length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
+               length(text) - length(regexp_replace(text, '[^\sA-Za-z0-9]', '', 'g')) AS n_punct
+        FROM documents
+    """,
+    "dup_ratio_by_source": """
+        SELECT source, COUNT(*) AS n_docs,
+               COUNT(DISTINCT sha256(text)) AS n_distinct
+        FROM documents GROUP BY source
+    """,
+    "top_longest_docs": """
+        SELECT doc_id, n_chars FROM documents
+        ORDER BY n_chars DESC, doc_id LIMIT 20
+    """,
+    "sample_docs": """
+        SELECT doc_id, source FROM documents WHERE doc_id % 16 = 0
+    """,
+    "events_window_agg": """
+        SELECT user_id,
+               CAST(floor(epoch(ts)/300) AS BIGINT) AS window,
+               COUNT(*) AS n_events,
+               round(SUM(value), 6) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "orders_by_segment": """
+        SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+               round(SUM(o.o_totalprice), 2) AS revenue
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """,
+    "ann_topk": """
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10
+        ), scored AS (
+          SELECT q.query_id, e.vec_id,
+                 list_cosine_similarity(q.qe, e.embedding) AS score
+          FROM q CROSS JOIN embeddings e
+        )
+        SELECT query_id, vec_id, round(score, 4) AS score_r
+        FROM scored
+        QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) <= 10
+    """,
+}
+
+QUERIES = {
+    "exact_dedup_docs": exact_dedup_docs,
+    "fixed_chunk_histogram": fixed_chunk_histogram,
+    "cdc_chunk_stats": cdc_chunk_stats,
+    "cdc_chunk_index": cdc_chunk_index,
+    "compression_accounting": compression_accounting,
+    "token_counts": token_counts,
+    "char_class_profile": char_class_profile,
+    "lang_id_docs": lang_id_docs,
+    "quality_docs": quality_docs,
+    "doc_fingerprints": doc_fingerprints,
+    "dup_ratio_by_source": dup_ratio_by_source,
+    "top_longest_docs": top_longest_docs,
+    "sample_docs": sample_docs,
+    "events_window_agg": events_window_agg,
+    "orders_by_segment": orders_by_segment,
+    "ann_topk": ann_topk,
+    "ann_topk_lsh": ann_topk_lsh,
+    "embedding_near_dups": embedding_near_dups,
+    "minhash_doc_pairs": minhash_doc_pairs,
+    "doc_clusters": doc_clusters,
+    "image_clusters": image_clusters,
+}

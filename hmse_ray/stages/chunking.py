@@ -37,25 +37,27 @@ def make_chunker(cfg: Config = DEFAULT_CONFIG, keep_bytes: bool = False,
     function of content; no actor state needed)."""
 
     def chunk_batch(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
         texts = batch[text_col].to_pylist()
-        out_id: list[str] = []
+        take_idx: list[int] = []  # input-row index per output chunk row
         out_idx: list[int] = []
         out_sha: list[str] = []
         out_len: list[int] = []
         out_bytes: list[bytes] = []
-        for iid, text in zip(ids, texts):
+        for ri, text in enumerate(texts):
             data = text.encode() if isinstance(text, str) else (text or b"")
             for ci, (off, ln) in enumerate(fastcdc.chunk_boundaries(data, cfg)):
                 cb = data[off : off + ln]
-                out_id.append(iid)
+                take_idx.append(ri)
                 out_idx.append(ci)
                 out_sha.append(hashlib.sha256(cb).hexdigest())
                 out_len.append(ln)
                 if keep_bytes:
                     out_bytes.append(cb)
+        # id column keeps the input column's name AND type (doc_id int64
+        # or image_id string alike)
+        ids = batch[id_col].take(pa.array(take_idx, pa.int64()))
         cols = {
-            "image_id": pa.array(out_id, pa.string()),
+            id_col: ids,
             "chunk_idx": pa.array(out_idx, pa.int32()),
             "sha256": pa.array(out_sha, pa.string()),
             "chunk_len": pa.array(out_len, pa.int32()),

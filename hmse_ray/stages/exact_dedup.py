@@ -43,17 +43,17 @@ from ray.data.aggregate import Count, Min
 from hmse_ray.config import Config, DEFAULT_CONFIG
 
 
-def _pack_ref(batch: pa.Table) -> pa.Table:
-    """Add chunk_ref = 'image_id#chunk_idx' (orderable canonical key)."""
+def _pack_ref(batch: pa.Table, id_col: str = "image_id") -> pa.Table:
+    """Add chunk_ref = '<id>#chunk_idx' (orderable canonical key)."""
     ref = pc.binary_join_element_wise(
-        batch["image_id"],
+        pc.cast(batch[id_col], pa.string()),
         pc.utf8_lpad(pc.cast(batch["chunk_idx"], pa.string()), 6, "0"),
         "#",
     )
     return batch.append_column("chunk_ref", ref)
 
 
-def dedup_chunks(chunks_ds, cfg: Config = DEFAULT_CONFIG):
+def dedup_chunks(chunks_ds, cfg: Config = DEFAULT_CONFIG, id_col: str = "image_id"):
     """chunks Dataset -> canonical chunk index Dataset.
 
     Output columns: sha256, canonical_ref ('image_id#chunk_idx' of the
@@ -62,7 +62,9 @@ def dedup_chunks(chunks_ds, cfg: Config = DEFAULT_CONFIG):
     This is THE exact-dedup shuffle (shuffle 1 of SURVEY.md section 4.2).
     Entirely vectorized: no per-group Python anywhere.
     """
-    packed = chunks_ds.map_batches(_pack_ref, batch_format="pyarrow")
+    packed = chunks_ds.map_batches(
+        lambda t: _pack_ref(t, id_col), batch_format="pyarrow"
+    )
     return packed.groupby("sha256").aggregate(
         Min("chunk_ref", alias_name="canonical_ref"),
         Count(alias_name="refcount"),
