@@ -226,9 +226,11 @@ def cluster_from_edges(edges_ds, images_ds, cfg: Config = DEFAULT_CONFIG,
         return ids_ds.map_batches(assign, batch_format="pyarrow")
     # distributed path: CC labels for edge-bearing nodes, then a
     # left-anti fill for singletons via hash join on image_id
+    from hmse_ray.util import join_partitions
+
     lbl = components_distributed(edges_ds)
     joined = ids_ds.join(
-        lbl, join_type="left_outer", num_partitions=cfg.num_partitions * 4,
+        lbl, join_type="left_outer", num_partitions=join_partitions(),
         on=("image_id",),
     )
 

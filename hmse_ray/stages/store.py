@@ -1,0 +1,119 @@
+"""Store-kind trichotomy + delta encoding (M7, J3, A6).
+
+Reference semantics: every stored record is exactly one of FULL /
+POINTER / DELTA (README.md:1634-1669). Exact duplicates become pointer
+records to the canonical copy (README.md:1210, 1311-1313); verified
+near-duplicates are stored as binary deltas against the cluster base if
+the delta is <= 20% of the original (README.md:2175), else full. The
+caption payload additionally passes through L1 compression with
+incompressible passthrough (README.md:288, 2138-2145).
+
+Ray-Data-first: the "base-chunk fetch" (J3, README.md:1560-1562) is a
+hash join of member rows with their cluster-canonical payload —
+SHUFFLE 3 of SURVEY.md section 4.2 — followed by a stateless
+delta-encode map_batches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from hmse_ray.config import Config, DEFAULT_CONFIG
+from hmse_ray.functions import compress, delta
+
+STORE_COLUMNS = [
+    "image_id", "cluster_id", "store_kind",
+    "caption_payload", "caption_env", "image_payload", "fmt", "w", "h",
+]
+
+
+def _encode_group(batch: pa.Table, cfg: Config) -> pa.Table:
+    """Decide store kind per row given joined canonical payloads."""
+    ids = batch["image_id"].to_pylist()
+    cids = batch["cluster_id"].to_pylist()
+    caps = batch["caption"].to_pylist()
+    blobs = batch["bytes"].to_pylist()
+    ccaps = batch["canon_caption"].to_pylist()
+    cblobs = batch["canon_bytes"].to_pylist()
+    kinds, cpl, cenv, ipl = [], [], [], []
+    for iid, cid, cap, blob, ccap, cblob in zip(ids, cids, caps, blobs, ccaps, cblobs):
+        cap_b = cap.encode()
+        if iid == cid:
+            kind = delta.KIND_FULL
+            payload, env = compress.compress_record(cap_b, cfg)
+            img = blob
+        elif cap == ccap and blob == cblob:
+            kind, payload, env, img = delta.KIND_POINTER, None, compress.STORED, None
+        else:
+            d = delta.delta_encode(ccap.encode(), cap_b, cfg)
+            if d is not None:
+                kind, payload, env = delta.KIND_DELTA, d, compress.COMPRESSED
+            else:
+                kind = delta.KIND_FULL
+                payload, env = compress.compress_record(cap_b, cfg)
+            img = blob if blob != cblob else None  # image pointer when pixels match
+        kinds.append(kind)
+        cpl.append(payload)
+        cenv.append(env)
+        ipl.append(img)
+    return pa.table(
+        {
+            "image_id": batch["image_id"],
+            "cluster_id": batch["cluster_id"],
+            "store_kind": pa.array(kinds, pa.string()),
+            "caption_payload": pa.array(cpl, pa.binary()),
+            "caption_env": pa.array(cenv, pa.int8()),
+            "image_payload": pa.array(ipl, pa.binary()),
+            "fmt": batch["fmt"],
+            "w": batch["w"],
+            "h": batch["h"],
+        }
+    )
+
+
+def store_table(images_ds, clusters_ds, cfg: Config = DEFAULT_CONFIG,
+                num_partitions: int | None = None):
+    """images + cluster assignments -> stored-record table.
+
+    Joins: images x clusters on image_id, then x canonical payloads on
+    cluster_id (both hash joins), then a stateless encode map.
+    """
+    from hmse_ray.util import join_partitions
+
+    num_partitions = num_partitions or join_partitions()
+    j1 = images_ds.join(
+        clusters_ds, join_type="inner", num_partitions=num_partitions, on=("image_id",)
+    )
+    canon = j1.map_batches(
+        lambda t: t.filter(pc.equal(t["image_id"], t["cluster_id"])),
+        batch_format="pyarrow",
+    ).select_columns(["cluster_id", "caption", "bytes"]).rename_columns(
+        {"caption": "canon_caption", "bytes": "canon_bytes"}
+    )
+    j2 = j1.join(
+        canon, join_type="inner", num_partitions=num_partitions, on=("cluster_id",)
+    )
+    return j2.map_batches(lambda t: _encode_group(t, cfg), batch_format="pyarrow")
+
+
+def store_kind_stats(store_ds):
+    """A6: per-kind record counts + stored caption bytes."""
+    from ray.data.aggregate import Count, Sum
+
+    def size_cols(t: pa.Table) -> pa.Table:
+        ln = pc.binary_length(t["caption_payload"])
+        ln = pc.coalesce(ln, pa.scalar(0, pa.int32()))
+        return pa.table(
+            {
+                "store_kind": t["store_kind"],
+                "stored_bytes": pc.cast(ln, pa.int64()),
+            }
+        )
+
+    return (
+        store_ds.map_batches(size_cols, batch_format="pyarrow")
+        .groupby("store_kind")
+        .aggregate(Count(alias_name="n"), Sum("stored_bytes", alias_name="stored_bytes"))
+    )

@@ -44,4 +44,14 @@ for iid, c in lbl.items():
     merged[c].add(gold[iid])
 overmerged = sum(1 for v in merged.values() if len(v) > 1)
 print("clusters mixing golden groups (overmerge):", overmerged, "/", len(merged), flush=True)
+
+
+# store + verify roundtrip
+from hmse_ray.pipelines import verify as vfy
+clusters_ds = ray.data.from_pandas(cl)
+inv = vfy.roundtrip(dedup.read_images(d + "/images.parquet"), clusters_ds, cfg)
+print("roundtrip invariant:", inv, flush=True)
+from hmse_ray.stages import store as store_stage
+st = store_stage.store_table(dedup.read_images(d + "/images.parquet"), clusters_ds, cfg)
+print("store kinds:", store_stage.store_kind_stats(st).to_pandas().to_dict("records"), flush=True)
 ray.shutdown()
