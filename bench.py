@@ -1,0 +1,151 @@
+"""Benchmark harness (driver contract + BASELINE.md scaling protocol).
+
+Default: runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(num_cpus=$RAY_GRAFT_CPUS, default
+32) and prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, ...extras}
+
+Headline = flagship image dedup (signatures -> LSH -> verified pairs ->
+clusters) on the deterministic synthetic image+caption fixture
+(BENCH_ROWS rows, cached under /tmp), reporting images/sec as well.
+
+--scaling: runs bench.py twice in FRESH processes at num_cpus=8 and 32
+on the same input (the sandbox substitute for the north rule's N vs 4N
+node clusters), prints both throughputs + scaling efficiency, and
+records the result in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "20000"))
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# representative per-operator queries timed over the sf dir
+BENCH_QUERIES = [
+    "exact_dedup_docs",
+    "cdc_chunk_index",
+    "fixed_chunk_histogram",
+    "token_counts",
+    "dup_ratio_by_source",
+    "events_window_agg",
+    "orders_by_segment",
+    "ann_topk",
+    "minhash_doc_pairs",
+    "doc_clusters",
+]
+
+
+def consume(res) -> int:
+    """Consume a Dataset/DataFrame/Table without materializing extras."""
+    if hasattr(res, "count") and not hasattr(res, "columns"):
+        return res.count()
+    return len(res)
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NCPU,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from hmse_ray.config import DEFAULT_CONFIG as cfg
+    from hmse_ray.pipelines import dedup
+    from hmse_ray.pipelines.queries import QUERIES
+    from hmse_ray.sources import fixtures
+
+    # fixture is cached on disk; generate before timing (one untimed read
+    # warms the page cache per the measurement protocol)
+    fdir = fixtures.fixture_dir(BENCH_ROWS, seed=42)
+    _ = dedup.read_images(fdir + "/images.parquet").count()
+
+    t0 = time.time()
+    clusters = dedup.cluster_assignments(
+        dedup.read_images(fdir + "/images.parquet"), cfg
+    )
+    n_images = clusters.count()
+    headline = time.time() - t0
+
+    queries = {"flagship_dedup": round(headline, 3)}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        consume(QUERIES[name](SF_DIR))
+        queries[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "flagship image dedup wall time (synthetic fixture, "
+        f"{BENCH_ROWS} rows) + per-operator query times over {SF_DIR}",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NCPU,
+        "bench_rows": BENCH_ROWS,
+        "images_per_sec": round(n_images / headline, 1),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    lo_n, hi_n = 8, 32
+    lo = run(lo_n)
+    hi = run(hi_n)
+    eff = (lo["value"] / hi["value"]) / (hi_n / lo_n)
+    res = {
+        "metric": "scaling efficiency, fresh ray.init at num_cpus=8 vs 32 "
+        "(sandbox substitute for N vs 4N nodes)",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "images_per_sec_8": lo["images_per_sec"],
+        "images_per_sec_32": hi["images_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "bench_rows": lo["bench_rows"],
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "a") as f:
+        f.write(
+            f"\n## scaling run ({time.strftime('%Y-%m-%d %H:%M:%S')})\n\n"
+            f"| num_cpus | wall sec | images/sec |\n|---|---|---|\n"
+            f"| {lo_n} | {lo['value']} | {lo['images_per_sec']} |\n"
+            f"| {hi_n} | {hi['value']} | {hi['images_per_sec']} |\n\n"
+            f"scaling efficiency (throughput_32/throughput_8)/4 = "
+            f"**{res['scaling_efficiency']}** (target >= 0.8)\n"
+            f"rows={lo['bench_rows']}, per-query times at 32 cpus: "
+            f"{json.dumps(hi['queries'])}\n"
+        )
+    return res
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

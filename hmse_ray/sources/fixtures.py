@@ -285,6 +285,23 @@ def fixture_dir(n_rows: int, seed: int = 42, root: str = "/tmp/hmse_fixtures") -
     return d
 
 
+def write_sharded(table: pa.Table, out_dir: str, shards: int = 8) -> list[str]:
+    """Write a table as N parquet file shards (the input layout a real
+    100 TB corpus would have; partition unit for resumable runs)."""
+    os.makedirs(out_dir, exist_ok=True)
+    n = table.num_rows
+    per = -(-n // shards)
+    files = []
+    for s in range(shards):
+        part = table.slice(s * per, per)
+        if part.num_rows == 0:
+            continue
+        f = os.path.join(out_dir, f"shard_{s:04d}.parquet")
+        pq.write_table(part, f)
+        files.append(f)
+    return files
+
+
 def images_from_documents(sf_dir: str, cfg: Config = DEFAULT_CONFIG, seed: int = 42) -> pa.Table:
     """Derive a deterministic images table from the driver's documents
     table (driver contract: entry() must read /root/testdata parquet).

@@ -32,6 +32,7 @@ import numpy as np
 import pyarrow as pa
 
 import ray
+from ray.data.aggregate import Count, Min
 
 from hmse_ray.config import Config, DEFAULT_CONFIG
 
@@ -56,8 +57,6 @@ def star_edges(membership_ds):
     edges = membership_ds.groupby("bucket").map_groups(
         _bucket_star_group, batch_format="pyarrow"
     )
-    from ray.data.aggregate import Count
-
     return edges.groupby(["src", "dst"]).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
 
 
@@ -136,8 +135,6 @@ def components_distributed(edges_ds, max_rounds: int = 10):
     """Large-star/small-star CC; returns (image_id, cluster_id) for nodes
     WITH at least one edge. Converges when the small-star edge set is a
     stable set of stars (checked via count + sum-of-hash aggregate)."""
-    from ray.data.aggregate import Count, Sum
-
     def edge_checksum(ds):
         def h(t: pa.Table) -> pa.Table:
             from hmse_ray.functions import murmur3

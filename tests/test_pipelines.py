@@ -1,0 +1,175 @@
+"""Integration tests: flagship pipeline, store/verify roundtrip,
+checkpoint resume, determinism (SURVEY.md section 5 items 1/2/4/5)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from hmse_ray.config import DEFAULT_CONFIG as CFG
+
+N_FIX = 300
+SEED = 1234
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(ray_session):
+    from hmse_ray.sources import fixtures
+
+    return fixtures.fixture_dir(N_FIX, seed=SEED)
+
+
+@pytest.fixture(scope="module")
+def cluster_df(ray_session, fixture_dir):
+    from hmse_ray.pipelines import dedup
+
+    images = dedup.read_images(fixture_dir + "/images.parquet")
+    return dedup.cluster_assignments(images, CFG).to_pandas()
+
+
+class TestFlagship:
+    def test_covers_all_images(self, fixture_dir, cluster_df):
+        images = pq.read_table(fixture_dir + "/images.parquet", columns=["image_id"])
+        assert sorted(cluster_df["image_id"]) == sorted(images["image_id"].to_pylist())
+
+    def test_required_dup_pair_recall(self, fixture_dir, cluster_df):
+        # north_rule: dup-pair recall >= 0.99 on reliably-detectable pairs
+        gp = pq.read_table(fixture_dir + "/golden_pairs.parquet").to_pandas()
+        req = gp[gp.required]
+        lbl = dict(zip(cluster_df.image_id, cluster_df.cluster_id))
+        hit = sum(lbl[a] == lbl[b] for a, b in zip(req.id_a, req.id_b))
+        assert hit / len(req) >= 0.99
+
+    def test_no_overmerge_of_golden_groups(self, fixture_dir, cluster_df):
+        gc = pq.read_table(fixture_dir + "/golden_clusters.parquet").to_pandas()
+        gold = dict(zip(gc.image_id, gc.cluster_id))
+        lbl = dict(zip(cluster_df.image_id, cluster_df.cluster_id))
+        from collections import defaultdict
+
+        members = defaultdict(set)
+        for iid, c in lbl.items():
+            members[c].add(gold[iid])
+        mixed = sum(1 for v in members.values() if len(v) > 1)
+        assert mixed == 0
+
+    def test_cluster_id_is_component_min(self, cluster_df):
+        grp = cluster_df.groupby("cluster_id")["image_id"].min()
+        assert (grp.index == grp.values).all()
+
+    def test_determinism(self, ray_session, fixture_dir, cluster_df):
+        from hmse_ray.pipelines import dedup
+
+        images = dedup.read_images(fixture_dir + "/images.parquet")
+        again = dedup.cluster_assignments(images, CFG).to_pandas()
+        a = cluster_df.sort_values("image_id").reset_index(drop=True)
+        b = again.sort_values("image_id").reset_index(drop=True)
+        assert a.equals(b)
+
+    def test_distributed_cc_matches_driver(self, ray_session, fixture_dir, cluster_df):
+        from hmse_ray.pipelines import dedup
+
+        images = dedup.read_images(fixture_dir + "/images.parquet")
+        dist = dedup.cluster_assignments(images, CFG, force_distributed=True).to_pandas()
+        a = cluster_df.sort_values("image_id").reset_index(drop=True)
+        b = dist.sort_values("image_id").reset_index(drop=True)
+        assert a.equals(b)
+
+
+class TestExactDedupCapability:
+    def test_five_copies_within_1p1x(self, ray_session):
+        # README.md:1301-1315 / 2153: 5 identical copies => physical <= 1.1x unique
+        from hmse_ray.pipelines import dedup
+        from hmse_ray.sources import fixtures
+
+        images, _, _ = fixtures.generate_images(60, seed=9)
+        five = __import__("pyarrow").concat_tables([images] * 5)
+        # re-id the copies so ids stay unique
+        import pyarrow as pa
+
+        ids = [f"{i}c{k}" for k in range(5) for i in images["image_id"].to_pylist()]
+        five = five.set_column(0, "image_id", pa.array(ids))
+        idx = dedup.chunk_index(dedup.read_images(five), CFG)
+        st = __import__("hmse_ray.stages.exact_dedup", fromlist=["dedup_stats"]).dedup_stats(
+            idx
+        ).to_pandas().iloc[0]
+        assert st["physical_bytes"] <= 1.1 * (st["logical_bytes"] / 5)
+
+
+class TestStoreVerify:
+    def test_roundtrip_invariant(self, ray_session, fixture_dir, cluster_df):
+        import ray
+
+        from hmse_ray.pipelines import dedup, verify
+
+        images = dedup.read_images(fixture_dir + "/images.parquet")
+        clusters = ray.data.from_pandas(cluster_df)
+        inv = verify.roundtrip(images, clusters, CFG)
+        assert inv["caption_pass"] == inv["n_rows"] == N_FIX
+        assert inv["pixel_pass"] == inv["n_rows"]
+
+    def test_store_kinds_present(self, ray_session, fixture_dir, cluster_df):
+        import ray
+
+        from hmse_ray.pipelines import dedup
+        from hmse_ray.stages import store
+
+        images = dedup.read_images(fixture_dir + "/images.parquet")
+        st = store.store_table(images, ray.data.from_pandas(cluster_df), CFG)
+        kinds = set(st.to_pandas()["store_kind"])
+        assert kinds <= {"full", "pointer", "delta"}
+        assert "pointer" in kinds  # planted exact dups must pointer
+        assert "full" in kinds
+
+
+class TestResume:
+    def test_kill_and_resume_identical(self, ray_session, fixture_dir, tmp_path):
+        from hmse_ray.sources import fixtures
+        from hmse_ray.state import checkpoint
+
+        images = pq.read_table(fixture_dir + "/images.parquet")
+        shard_dir = str(tmp_path / "shards")
+        files = fixtures.write_sharded(images, shard_dir, shards=6)
+
+        out_a = str(tmp_path / "run_uninterrupted")
+        checkpoint.run_resumable(files, out_a, CFG, num_partitions=4)
+
+        out_b = str(tmp_path / "run_killed")
+        with pytest.raises(RuntimeError, match="simulated kill"):
+            checkpoint.run_resumable(files, out_b, CFG, num_partitions=4, stop_after=2)
+        done_markers = [
+            os.path.join(out_b, "phase1", d, "_SUCCESS")
+            for d in os.listdir(os.path.join(out_b, "phase1"))
+        ]
+        assert len(done_markers) == 2
+        mtimes = {m: os.path.getmtime(m) for m in done_markers}
+
+        checkpoint.run_resumable(files, out_b, CFG, num_partitions=4)  # resume
+        for m, t in mtimes.items():  # finished partitions not recomputed
+            assert os.path.getmtime(m) == t
+
+        ca = pq.read_table(os.path.join(out_a, "final", "clusters")).to_pandas()
+        cb = pq.read_table(os.path.join(out_b, "final", "clusters")).to_pandas()
+        ca = ca.sort_values("image_id").reset_index(drop=True)
+        cb = cb.sort_values("image_id").reset_index(drop=True)
+        assert ca.equals(cb)
+
+    def test_partition_metrics_written(self, ray_session, fixture_dir, tmp_path):
+        from hmse_ray.sources import fixtures
+        from hmse_ray.state import checkpoint
+
+        images = pq.read_table(fixture_dir + "/images.parquet")
+        files = fixtures.write_sharded(images, str(tmp_path / "s2"), shards=3)
+        out = str(tmp_path / "run_m")
+        stats = checkpoint.run_resumable(files, out, CFG, num_partitions=2)
+        assert stats["n_total"] >= stats["n_unique"] > 0
+        for pm in stats["partitions"]:
+            assert pm["partition_dedup_ratio"] >= 1.0
+            assert pm["n_rows"] > 0
+        lineage = json.load(
+            open(os.path.join(out, "phase1", "part=0", "lineage.json"))
+        )
+        assert lineage["input_files"]
