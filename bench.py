@@ -45,7 +45,9 @@ BENCH_QUERIES = [
 
 def consume(res) -> int:
     """Consume a Dataset/DataFrame/Table without materializing extras."""
-    if hasattr(res, "count") and not hasattr(res, "columns"):
+    import ray.data as rd
+
+    if isinstance(res, rd.Dataset):
         return res.count()
     return len(res)
 
@@ -75,11 +77,11 @@ def run_bench() -> dict:
     # fixture is cached on disk; generate before timing (one untimed read
     # warms the page cache per the measurement protocol)
     fdir = fixtures.fixture_dir(BENCH_ROWS, seed=42)
-    _ = dedup.read_images(fdir + "/images.parquet").count()
+    _ = dedup.read_images(fdir + "/images").count()
 
     t0 = time.time()
     clusters = dedup.cluster_assignments(
-        dedup.read_images(fdir + "/images.parquet"), cfg
+        dedup.read_images(fdir + "/images"), cfg
     )
     n_images = clusters.count()
     headline = time.time() - t0

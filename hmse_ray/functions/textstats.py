@@ -122,6 +122,42 @@ def winnow_fingerprints(text: str, k: int = 8, window: int = 16) -> np.ndarray:
     return np.unique(sw.min(axis=1))
 
 
+def simhash64_text(text: str, seed: int = 0x51A7) -> int:
+    """Charikar SimHash over word tokens (public algorithm): each token
+    hashes to 64 bits; bit b of the signature is the sign of the sum of
+    (+1 if token-hash bit b set else -1) over tokens."""
+    toks = _WS.split(text.strip()) if text and text.strip() else []
+    if not toks:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    ones = np.ones(64, dtype=np.int64)
+    for t in toks:
+        h1 = murmur3.murmur3_bytes(t.encode(), seed)
+        h2 = murmur3.murmur3_bytes(t.encode(), seed ^ 0xFFFF)
+        h = (np.uint64(h2) << np.uint64(32)) | np.uint64(h1)
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits.astype(bool), ones, -ones)
+    v = np.uint64(0)
+    for b in range(64):
+        if acc[b] > 0:
+            v |= np.uint64(1) << np.uint64(b)
+    return int(np.int64(v))
+
+
+def char_ngram_set(text: str, n: int = 4) -> np.ndarray:
+    """Character n-gram set as uint32 shingles (n=4 -> minhash shingles)."""
+    return _mh.shingles_u32(text.encode())
+
+
+def ngram_jaccard(a: str, b: str, n: int = 4) -> float:
+    """Exact character-n-gram Jaccard similarity."""
+    sa, sb = char_ngram_set(a, n), char_ngram_set(b, n)
+    if sa.size == 0 and sb.size == 0:
+        return 1.0
+    inter = np.intersect1d(sa, sb, assume_unique=True).size
+    return inter / max(1, sa.size + sb.size - inter)
+
+
 def doc_fingerprint64(text: str, k: int = 8, window: int = 16) -> int:
     """Single 64-bit fingerprint: xor-fold of the winnowing set."""
     fps = winnow_fingerprints(text, k, window)

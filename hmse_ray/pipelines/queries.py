@@ -547,6 +547,100 @@ def doc_clusters(sf_dir):
     return clustering.cluster_from_edges(pairs, docs, CFG)
 
 
+def simhash_text_pairs(sf_dir):
+    """Text SimHash near-dup pairs over documents (rows-only): Charikar
+    token SimHash -> 16-bit band buckets -> Hamming-verified star edges
+    (reuses the image SimHash LSH machinery on a text signature)."""
+    from hmse_ray.stages import lsh
+
+    def sign(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "image_id": df["doc_id"].astype(str),
+                "simhash": [textstats.simhash64_text(t) for t in df["text"].fillna("")],
+            }
+        )
+
+    sims = _docs(sf_dir, ["doc_id", "text"]).map_batches(sign, batch_format="pandas")
+    return lsh.simhash_candidate_pairs(sims, CFG)
+
+
+def ngram_jaccard_pairs(sf_dir, threshold: float = 0.7):
+    """Exact character-4-gram Jaccard pairs (rows-only): MinHash LSH
+    proposes candidates, EXACT n-gram Jaccard verifies each star edge
+    (texts carried through the bucket shuffle — fine at document scale;
+    at corpus scale verification would join texts back by id)."""
+    from hmse_ray.stages import signatures as sig_stage
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    signed = sig_stage.minhash_stage(
+        docs.map_batches(
+            lambda t: pa.table(
+                {"image_id": pc.cast(t["doc_id"], pa.string()), "caption": t["text"]}
+            ),
+            batch_format="pyarrow",
+        ),
+        CFG,
+        keep_cols=("image_id",),
+    )
+    texts = docs.map_batches(
+        lambda t: pa.table(
+            {"image_id": pc.cast(t["doc_id"], pa.string()), "text": t["text"]}
+        ),
+        batch_format="pyarrow",
+    )
+    from hmse_ray.util import join_partitions
+
+    joined = signed.join(
+        texts, join_type="inner", num_partitions=join_partitions(), on=("image_id",)
+    )
+
+    from hmse_ray.stages.lsh import band_explode
+
+    bands = joined.map_batches(
+        lambda t: band_explode(t, CFG, 1, carry_sig=False).append_column(
+            "text", pa.concat_arrays([t["text"].combine_chunks()] * CFG.num_bands)
+        ),
+        batch_format="pyarrow",
+    )
+
+    def star(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype=str), "id_b": pd.Series(dtype=str),
+                 "jaccard": pd.Series(dtype=float)}
+            )
+        ids = g["image_id"].tolist()
+        rep = int(np.argmin(np.asarray(ids, dtype=object)))
+        texts_l = g["text"].tolist()
+        out_a, out_b, out_j = [], [], []
+        for i in range(len(ids)):
+            if i == rep:
+                continue
+            j = textstats.ngram_jaccard(texts_l[rep], texts_l[i])
+            if j >= threshold:
+                out_a.append(min(ids[rep], ids[i]))
+                out_b.append(max(ids[rep], ids[i]))
+                out_j.append(round(j, 6))
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j})
+
+    pairs = bands.groupby("bucket").map_groups(star, batch_format="pandas")
+    return pairs.groupby(["id_a", "id_b"]).aggregate(Max("jaccard", alias_name="jaccard"))
+
+
+def decode_resize_features(sf_dir):
+    """Multimodal decode+resize actor-pool stage (rows-only): images
+    derived from documents -> fixed-size pixel feature rows."""
+    from hmse_ray.sources import fixtures
+    from hmse_ray.stages import multimodal
+
+    images = rd.from_arrow(fixtures.images_from_documents(sf_dir))
+    feats = multimodal.decode_resize_stage(images)
+    return feats.map_batches(
+        lambda t: t.select(["image_id", "out_w", "out_h"]), batch_format="pyarrow"
+    )
+
+
 def image_clusters(sf_dir):
     """Flagship (rows-only): image+caption table derived deterministically
     from documents -> full dedup cluster assignment."""
@@ -654,5 +748,8 @@ QUERIES = {
     "embedding_near_dups": embedding_near_dups,
     "minhash_doc_pairs": minhash_doc_pairs,
     "doc_clusters": doc_clusters,
+    "simhash_text_pairs": simhash_text_pairs,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "decode_resize_features": decode_resize_features,
     "image_clusters": image_clusters,
 }

@@ -46,7 +46,7 @@ from hmse_ray.config import Config, DEFAULT_CONFIG
 from hmse_ray.functions import imagecodec, minhash, simhash
 
 IMG_W, IMG_H = 64, 48
-FIXTURE_VERSION = 2  # bump when generation logic changes (invalidates /tmp cache)
+FIXTURE_VERSION = 3  # bump when generation logic changes (invalidates /tmp cache)
 
 IMAGES_SCHEMA = pa.schema(
     [
@@ -272,7 +272,9 @@ def fixture_dir(n_rows: int, seed: int = 42, root: str = "/tmp/hmse_fixtures") -
         images, gc, gp = generate_images(n_rows, seed)
         tmp = d + ".tmp"
         os.makedirs(tmp, exist_ok=True)
-        pq.write_table(images, os.path.join(tmp, "images.parquet"))
+        # images are SHARDED (16 files) so ray.data reads them with file
+        # parallelism — a single parquet file reads in one task
+        write_sharded(images, os.path.join(tmp, "images"), shards=16)
         pq.write_table(gc, os.path.join(tmp, "golden_clusters.parquet"))
         pq.write_table(gp, os.path.join(tmp, "golden_pairs.parquet"))
         with open(os.path.join(tmp, "_SUCCESS"), "w") as f:

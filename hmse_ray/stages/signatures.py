@@ -91,7 +91,7 @@ def minhash_stage(ds, cfg: Config = DEFAULT_CONFIG, *, text_col="caption",
     concurrency defaults to an autoscaling (1, 8) pool so the signer
     neither starves the read/shuffle stages nor idles on small inputs.
     """
-    concurrency = concurrency or (1, 8)
+    concurrency = concurrency or (1, 16)
     ds = ds.select_columns(list(dict.fromkeys(keep_cols + (text_col,))))
     return ds.map_batches(
         MinHashSigner,
@@ -105,7 +105,7 @@ def minhash_stage(ds, cfg: Config = DEFAULT_CONFIG, *, text_col="caption",
 def simhash_stage(ds, cfg: Config = DEFAULT_CONFIG, *, keep_cols=("image_id",),
                   concurrency=None, batch_size: int = 256):
     """Attach image SimHash via an actor pool (bytes stay in this stage)."""
-    concurrency = concurrency or (1, 8)
+    concurrency = concurrency or (1, 16)
     need = list(dict.fromkeys(keep_cols + ("bytes", "w", "h", "fmt", "phash")))
     ds = ds.select_columns([c for c in need if c in ds.schema().names])
     return ds.map_batches(

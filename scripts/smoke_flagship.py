@@ -19,7 +19,7 @@ from hmse_ray.sources import fixtures
 
 n = int(sys.argv[1]) if len(sys.argv) > 1 else 500
 d = fixtures.fixture_dir(n, seed=42)
-images = dedup.read_images(d + "/images.parquet")
+images = dedup.read_images(d + "/images")
 t0 = time.time()
 res = dedup.flagship(images, cfg)
 cl = res["clusters"].to_pandas()
@@ -49,9 +49,9 @@ print("clusters mixing golden groups (overmerge):", overmerged, "/", len(merged)
 # store + verify roundtrip
 from hmse_ray.pipelines import verify as vfy
 clusters_ds = ray.data.from_pandas(cl)
-inv = vfy.roundtrip(dedup.read_images(d + "/images.parquet"), clusters_ds, cfg)
+inv = vfy.roundtrip(dedup.read_images(d + "/images"), clusters_ds, cfg)
 print("roundtrip invariant:", inv, flush=True)
 from hmse_ray.stages import store as store_stage
-st = store_stage.store_table(dedup.read_images(d + "/images.parquet"), clusters_ds, cfg)
+st = store_stage.store_table(dedup.read_images(d + "/images"), clusters_ds, cfg)
 print("store kinds:", store_stage.store_kind_stats(st).to_pandas().to_dict("records"), flush=True)
 ray.shutdown()

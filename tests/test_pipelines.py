@@ -27,13 +27,13 @@ def fixture_dir(ray_session):
 def cluster_df(ray_session, fixture_dir):
     from hmse_ray.pipelines import dedup
 
-    images = dedup.read_images(fixture_dir + "/images.parquet")
+    images = dedup.read_images(fixture_dir + "/images")
     return dedup.cluster_assignments(images, CFG).to_pandas()
 
 
 class TestFlagship:
     def test_covers_all_images(self, fixture_dir, cluster_df):
-        images = pq.read_table(fixture_dir + "/images.parquet", columns=["image_id"])
+        images = pq.read_table(fixture_dir + "/images", columns=["image_id"])
         assert sorted(cluster_df["image_id"]) == sorted(images["image_id"].to_pylist())
 
     def test_required_dup_pair_recall(self, fixture_dir, cluster_df):
@@ -63,7 +63,7 @@ class TestFlagship:
     def test_determinism(self, ray_session, fixture_dir, cluster_df):
         from hmse_ray.pipelines import dedup
 
-        images = dedup.read_images(fixture_dir + "/images.parquet")
+        images = dedup.read_images(fixture_dir + "/images")
         again = dedup.cluster_assignments(images, CFG).to_pandas()
         a = cluster_df.sort_values("image_id").reset_index(drop=True)
         b = again.sort_values("image_id").reset_index(drop=True)
@@ -72,7 +72,7 @@ class TestFlagship:
     def test_distributed_cc_matches_driver(self, ray_session, fixture_dir, cluster_df):
         from hmse_ray.pipelines import dedup
 
-        images = dedup.read_images(fixture_dir + "/images.parquet")
+        images = dedup.read_images(fixture_dir + "/images")
         dist = dedup.cluster_assignments(images, CFG, force_distributed=True).to_pandas()
         a = cluster_df.sort_values("image_id").reset_index(drop=True)
         b = dist.sort_values("image_id").reset_index(drop=True)
@@ -105,7 +105,7 @@ class TestStoreVerify:
 
         from hmse_ray.pipelines import dedup, verify
 
-        images = dedup.read_images(fixture_dir + "/images.parquet")
+        images = dedup.read_images(fixture_dir + "/images")
         clusters = ray.data.from_pandas(cluster_df)
         inv = verify.roundtrip(images, clusters, CFG)
         assert inv["caption_pass"] == inv["n_rows"] == N_FIX
@@ -117,7 +117,7 @@ class TestStoreVerify:
         from hmse_ray.pipelines import dedup
         from hmse_ray.stages import store
 
-        images = dedup.read_images(fixture_dir + "/images.parquet")
+        images = dedup.read_images(fixture_dir + "/images")
         st = store.store_table(images, ray.data.from_pandas(cluster_df), CFG)
         kinds = set(st.to_pandas()["store_kind"])
         assert kinds <= {"full", "pointer", "delta"}
@@ -130,7 +130,7 @@ class TestResume:
         from hmse_ray.sources import fixtures
         from hmse_ray.state import checkpoint
 
-        images = pq.read_table(fixture_dir + "/images.parquet")
+        images = pq.read_table(fixture_dir + "/images")
         shard_dir = str(tmp_path / "shards")
         files = fixtures.write_sharded(images, shard_dir, shards=6)
 
@@ -161,7 +161,7 @@ class TestResume:
         from hmse_ray.sources import fixtures
         from hmse_ray.state import checkpoint
 
-        images = pq.read_table(fixture_dir + "/images.parquet")
+        images = pq.read_table(fixture_dir + "/images")
         files = fixtures.write_sharded(images, str(tmp_path / "s2"), shards=3)
         out = str(tmp_path / "run_m")
         stats = checkpoint.run_resumable(files, out, CFG, num_partitions=2)
