@@ -62,13 +62,10 @@ def run_bench() -> dict:
         ignore_reinit_error=True,
         logging_level="ERROR",
     )
-    from ray.data import DataContext
-
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
-    ctx.execution_options.verbose_progress = False
-
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from hmse_ray.util import tune_data_context
+
+    tune_data_context(NCPU)
     from hmse_ray.config import DEFAULT_CONFIG as cfg
     from hmse_ray.pipelines import dedup
     from hmse_ray.pipelines.queries import QUERIES

@@ -277,22 +277,32 @@ def events_window_agg(sf_dir):
         os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"]
     )
 
+    # The composite (user_id, window) key is PACKED into one int64:
+    # Ray's sort-based aggregate on a multi-column key materializes
+    # Python tuple keys per row (measured ~70x slower than a single
+    # int64 key on this table). Window fits in 32 bits for any
+    # epoch/300 value through year 40000+.
     def win(df: pd.DataFrame) -> pd.DataFrame:
-        w = (df["ts"].astype("int64") // 10**6 // 300).astype("int64")
-        return pd.DataFrame({"user_id": df["user_id"], "window": w, "value": df["value"]})
+        w = (df["ts"].to_numpy().astype("int64") // 10**6 // 300).astype(np.int64)
+        u = df["user_id"].to_numpy().astype(np.int64)
+        return pd.DataFrame({"gkey": (u << 32) | w, "value": df["value"]})
 
-    agg = ev.map_batches(win, batch_format="pandas").groupby(["user_id", "window"]).aggregate(
+    agg = ev.map_batches(win, batch_format="pandas").groupby("gkey").aggregate(
         Count(alias_name="n_events"), Sum("value", alias_name="sum_value")
     )
 
-    def rnd(t: pa.Table) -> pa.Table:
-        return t.set_column(
-            t.schema.get_field_index("sum_value"),
-            "sum_value",
-            pc.round(t["sum_value"], ndigits=6),
+    def unpack(t: pa.Table) -> pa.Table:
+        g = t["gkey"].to_numpy()
+        return pa.table(
+            {
+                "user_id": pa.array(g >> 32, pa.int64()),
+                "window": pa.array(g & 0xFFFFFFFF, pa.int64()),
+                "n_events": t["n_events"],
+                "sum_value": pc.round(t["sum_value"], ndigits=6),
+            }
         )
 
-    return agg.map_batches(rnd, batch_format="pyarrow")
+    return agg.map_batches(unpack, batch_format="pyarrow")
 
 
 def orders_by_segment(sf_dir):
@@ -511,7 +521,23 @@ def embedding_near_dups(sf_dir, threshold=0.98):
         .groupby("bucket")
         .map_groups(star, batch_format="pandas")
     )
-    return pairs.groupby(["id_a", "id_b"]).aggregate(Max("cosine", alias_name="cosine"))
+
+    def packkey(t: pa.Table) -> pa.Table:
+        k = (t["id_a"].to_numpy().astype(np.int64) << np.int64(32)) | t[
+            "id_b"
+        ].to_numpy().astype(np.int64)
+        return t.append_column("pairkey", pa.array(k, pa.int64()))
+
+    return (
+        pairs.map_batches(packkey, batch_format="pyarrow")
+        .groupby("pairkey")
+        .aggregate(
+            Min("id_a", alias_name="id_a"),
+            Min("id_b", alias_name="id_b"),
+            Max("cosine", alias_name="cosine"),
+        )
+        .drop_columns(["pairkey"])
+    )
 
 
 # ------------------------------------------------------------- near-dup text
@@ -570,34 +596,26 @@ def ngram_jaccard_pairs(sf_dir, threshold: float = 0.7):
     proposes candidates, EXACT n-gram Jaccard verifies each star edge
     (texts carried through the bucket shuffle — fine at document scale;
     at corpus scale verification would join texts back by id)."""
-    from hmse_ray.stages import signatures as sig_stage
-
-    docs = _docs(sf_dir, ["doc_id", "text"])
-    signed = sig_stage.minhash_stage(
-        docs.map_batches(
-            lambda t: pa.table(
-                {"image_id": pc.cast(t["doc_id"], pa.string()), "caption": t["text"]}
-            ),
-            batch_format="pyarrow",
-        ),
-        CFG,
-        keep_cols=("image_id",),
-    )
-    texts = docs.map_batches(
-        lambda t: pa.table(
-            {"image_id": pc.cast(t["doc_id"], pa.string()), "text": t["text"]}
-        ),
-        batch_format="pyarrow",
-    )
-    from hmse_ray.util import join_partitions
-
-    joined = signed.join(
-        texts, join_type="inner", num_partitions=join_partitions(), on=("image_id",)
-    )
-
+    from hmse_ray.functions import minhash as mh_fn
     from hmse_ray.stages.lsh import band_explode
 
-    bands = joined.map_batches(
+    def sign_with_text(t: pa.Table) -> pa.Table:
+        texts_l = t["text"].to_pylist()
+        sigs = mh_fn.signatures([x.encode() for x in texts_l], CFG)
+        bh = mh_fn.band_hashes(sigs, CFG)
+        cols = {
+            "image_id": pc.cast(t["doc_id"], pa.string()),
+            "text": t["text"],
+        }
+        for b in range(CFG.num_bands):
+            cols[f"band_h{b}"] = pa.array(bh[:, b].view(np.int64), pa.int64())
+        return pa.table(cols)
+
+    signed = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        sign_with_text, batch_format="pyarrow"
+    )
+
+    bands = signed.map_batches(
         lambda t: band_explode(t, CFG, 1, carry_sig=False).append_column(
             "text", pa.concat_arrays([t["text"].combine_chunks()] * CFG.num_bands)
         ),
@@ -625,7 +643,9 @@ def ngram_jaccard_pairs(sf_dir, threshold: float = 0.7):
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j})
 
     pairs = bands.groupby("bucket").map_groups(star, batch_format="pandas")
-    return pairs.groupby(["id_a", "id_b"]).aggregate(Max("jaccard", alias_name="jaccard"))
+    from hmse_ray.stages.lsh import dedup_pair_edges
+
+    return dedup_pair_edges(pairs, val_col="jaccard")
 
 
 def decode_resize_features(sf_dir):

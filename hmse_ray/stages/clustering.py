@@ -52,12 +52,29 @@ def _bucket_star_group(group: pa.Table) -> pa.Table:
     return pa.table({"src": pa.array([rep] * len(dst), pa.string()), "dst": pa.array(dst)})
 
 
+def _dedup_src_dst(edges_ds):
+    """Distinct (src, dst) via one packed string key (see lsh.dedup_pair_edges)."""
+    import pyarrow.compute as pc
+
+    def pack(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "pairkey", pc.binary_join_element_wise(t["src"], t["dst"], "|")
+        )
+
+    return (
+        edges_ds.map_batches(pack, batch_format="pyarrow")
+        .groupby("pairkey")
+        .aggregate(Min("src", alias_name="src"), Min("dst", alias_name="dst"))
+        .drop_columns(["pairkey"])
+    )
+
+
 def star_edges(membership_ds):
     """(image_id, bucket) membership -> deduplicated (src, dst) edges."""
     edges = membership_ds.groupby("bucket").map_groups(
         _bucket_star_group, batch_format="pyarrow"
     )
-    return edges.groupby(["src", "dst"]).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+    return _dedup_src_dst(edges)
 
 
 def components_unionfind(edges: list[tuple[str, str]],
@@ -160,9 +177,7 @@ def components_distributed(edges_ds, max_rounds: int = 10):
         ss = _as_adjacency(merged, "both").groupby("node").map_groups(
             _small_star_group, batch_format="pyarrow"
         )
-        cur = (
-            ss.groupby(["src", "dst"]).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
-        ).materialize()
+        cur = _dedup_src_dst(ss).materialize()
         sig = edge_checksum(cur)
         if sig == prev_sig:
             break

@@ -42,6 +42,28 @@ _BAND_MIX = np.uint64(0xA24BAED4963EE407)
 _SIMHASH_MIX = np.uint64(0x9FB21C651E98DF25)
 
 
+def dedup_pair_edges(edges_ds, val_col: str | None = "jaccard_est"):
+    """Deduplicate (id_a, id_b[, val]) edges emitted by several bands.
+
+    Groups on ONE packed string key instead of the two-column key —
+    Ray's sort-based aggregate materializes Python tuples for
+    multi-column keys (measured ~70x slower than single-key grouping).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min
+
+    def pack(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "pairkey", pc.binary_join_element_wise(t["id_a"], t["id_b"], "|")
+        )
+
+    aggs = [Min("id_a", alias_name="id_a"), Min("id_b", alias_name="id_b")]
+    if val_col is not None:
+        aggs.append(Max(val_col, alias_name=val_col))
+    out = edges_ds.map_batches(pack, batch_format="pyarrow").groupby("pairkey").aggregate(*aggs)
+    return out.drop_columns(["pairkey"])
+
+
 def _salt_of(ids: pa.Array, num_salts: int) -> np.ndarray:
     if num_salts <= 1:
         return np.zeros(len(ids), dtype=np.uint64)
@@ -209,9 +231,7 @@ def simhash_candidate_pairs(simhash_ds, cfg: Config = DEFAULT_CONFIG, num_salts:
     edges = bands.groupby("bucket").map_groups(
         lambda g: _simhash_star_group(g, cfg), batch_format="pyarrow"
     )
-    from ray.data.aggregate import Max
-
-    return edges.groupby(["id_a", "id_b"]).aggregate(Max("jaccard_est", alias_name="jaccard_est"))
+    return dedup_pair_edges(edges)
 
 
 def _simhash_bands_with_payload(sim_batch: pa.Table, cfg: Config, num_salts: int) -> pa.Table:
@@ -265,6 +285,4 @@ def candidate_pairs(minhash_ds, cfg: Config = DEFAULT_CONFIG, num_salts: int = 1
             lambda g: _star_edges_group(g, cfg), batch_format="pyarrow"
         )
         edges = edges.union(link_edges)
-    from ray.data.aggregate import Max
-
-    return edges.groupby(["id_a", "id_b"]).aggregate(Max("jaccard_est", alias_name="jaccard_est"))
+    return dedup_pair_edges(edges)

@@ -3,6 +3,28 @@
 from __future__ import annotations
 
 
+def tune_data_context(num_cpus: int | None = None) -> None:
+    """Session-owner helper: size Ray Data's defaults to the cluster.
+
+    Ray Data's default ``min_parallelism`` of 200 makes EVERY shuffle
+    produce 200 reduce tasks — measured 2x flagship slowdown vs 2 tasks
+    per CPU on this workload. Called by bench.py, the pytest fixture and
+    CLI scripts right after ray.init (library code never owns a session).
+    """
+    import ray
+    from ray.data import DataContext
+
+    if num_cpus is None:
+        try:
+            num_cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            num_cpus = 8
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+    ctx.min_parallelism = max(8, 2 * num_cpus)
+
+
 def join_partitions(cap: int = 64) -> int:
     """Hash-join partition count sized to the cluster.
 

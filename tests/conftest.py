@@ -16,9 +16,8 @@ def ray_session():
         ignore_reinit_error=True,
         logging_level="ERROR",
     )
-    from ray.data import DataContext
+    from hmse_ray.util import tune_data_context
 
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
+    tune_data_context(4)
     yield ray
     ray.shutdown()
