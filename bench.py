@@ -24,7 +24,7 @@ import subprocess
 import sys
 import time
 
-BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "20000"))
+BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "50000"))
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
@@ -114,7 +114,10 @@ def run_scaling() -> dict:
         )
         return json.loads(p.stdout.strip().splitlines()[-1])
 
-    lo_n, hi_n = 8, 32
+    # This host exposes 32 logical CPUs over ~16 physical cores (measured
+    # with a pure-CPU burn: 32 procs reach only ~16x). N vs 4N must stay
+    # within physical cores for the comparison to be meaningful -> 4 vs 16.
+    lo_n, hi_n = int(os.environ.get("GRAFT_SCALE_LO", "4")), int(os.environ.get("GRAFT_SCALE_HI", "16"))
     lo = run(lo_n)
     hi = run(hi_n)
     eff = (lo["value"] / hi["value"]) / (hi_n / lo_n)

@@ -85,6 +85,92 @@ def chunk_index(images, cfg: Config = DEFAULT_CONFIG):
     return exact_dedup.dedup_chunks(chunks, cfg)
 
 
+def ablation_run(images, cfg: Config = DEFAULT_CONFIG):
+    """Run the layer subset selected by cfg.enable_l* flags
+    (VALIDATION_METHODS.md:458-464 ablation configs; degraded modes
+    README.md:745-770). Each layer is an independent Dataset product:
+
+      L1 -> per-record compression accounting
+      L2 -> chunk table (content-defined); L2 off + L3 on degrades to
+            whole-record hashing (mode-4 analog)
+      L3 -> canonical chunk index + dedup stats
+      L4 -> near-dup cluster assignments
+    """
+    import pyarrow.compute as pc
+
+    from hmse_ray.functions import compress as compress_fn
+
+    out = {}
+    if cfg.enable_l1:
+        def l1(batch: pa.Table) -> pa.Table:
+            caps = [c.encode() for c in batch["caption"].to_pylist()]
+            comp = [compress_fn.compress_record(c, cfg) for c in caps]
+            return pa.table(
+                {
+                    "bytes_in": pa.array([len(c) for c in caps], pa.int64()),
+                    "bytes_out": pa.array([len(p) for p, _ in comp], pa.int64()),
+                }
+            )
+
+        from ray.data.aggregate import Sum
+
+        out["l1_accounting"] = (
+            _branch(images, ["image_id", "caption"])
+            .map_batches(l1, batch_format="pyarrow")
+            .aggregate(Sum("bytes_in", alias_name="bytes_in"),
+                       Sum("bytes_out", alias_name="bytes_out"))
+        )
+    if cfg.enable_l3:
+        if cfg.enable_l2:
+            chunks = chunking.chunk_stage(_branch(images, ["image_id", "caption"]), cfg)
+        else:
+            # degraded mode: whole record is the chunk
+            import hashlib
+
+            def whole(batch: pa.Table) -> pa.Table:
+                caps = [c.encode() for c in batch["caption"].to_pylist()]
+                return pa.table(
+                    {
+                        "image_id": batch["image_id"],
+                        "chunk_idx": pa.array([0] * len(caps), pa.int32()),
+                        "sha256": pa.array(
+                            [hashlib.sha256(c).hexdigest() for c in caps], pa.string()
+                        ),
+                        "chunk_len": pa.array([len(c) for c in caps], pa.int32()),
+                    }
+                )
+
+            chunks = _branch(images, ["image_id", "caption"]).map_batches(
+                whole, batch_format="pyarrow"
+            )
+        out["chunk_index"] = exact_dedup.dedup_chunks(chunks, cfg)
+        out["dedup_stats"] = exact_dedup.dedup_stats(out["chunk_index"])
+    elif cfg.enable_l2:
+        out["chunks"] = chunking.chunk_stage(_branch(images, ["image_id", "caption"]), cfg)
+    if cfg.enable_l4:
+        out["clusters"] = cluster_assignments(
+            images, cfg, use_simhash=_has_column(images, "bytes")
+        )
+    return out
+
+
+def _has_column(images, col: str) -> bool:
+    if isinstance(images, pa.Table):
+        return col in images.schema.names
+    if isinstance(images, str):
+        import pyarrow.parquet as pq
+
+        try:
+            return col in pq.read_schema(images).names
+        except Exception:
+            import glob
+            import os
+
+            files = sorted(glob.glob(os.path.join(images, "*.parquet")))
+            return bool(files) and col in pq.read_schema(files[0]).names
+    return col in images.schema().names
+
+
 def flagship(images, cfg: Config = DEFAULT_CONFIG, *,
              use_simhash: bool = True, concurrency=None):
     """Full write path; returns dict of result Datasets.

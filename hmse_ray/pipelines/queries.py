@@ -661,6 +661,48 @@ def decode_resize_features(sf_dir):
     )
 
 
+def random_pair_jaccard_hist(sf_dir, n_bins: int = 10):
+    """O2 (rows-only): seeded random document pairs -> Jaccard-estimate
+    histogram for LSH calibration (README.md:2319-2324). Pairing is
+    deterministic: doc i with doc i+N/2 after a seeded shuffle."""
+    import pyarrow.parquet as pq
+
+    from hmse_ray.functions import minhash as mh_fn
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def sign(t: pa.Table) -> pa.Table:
+        sigs = mh_fn.signatures([x.encode() for x in t["text"].to_pylist()], CFG)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "minhash": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sigs.ravel(), pa.uint32()), CFG.num_hashes
+                ),
+            }
+        )
+
+    signed = docs.map_batches(sign, batch_format="pyarrow").to_pandas()
+    # driver-side pairing of the (small) signature table; seeded
+    rng = np.random.default_rng(CFG.sample_seed)
+    order = rng.permutation(len(signed))
+    half = len(order) // 2
+    a = np.stack(
+        [np.asarray(signed["minhash"][i]) for i in order[:half]]
+    )
+    b = np.stack(
+        [np.asarray(signed["minhash"][i]) for i in order[half : 2 * half]]
+    )
+    est = (a == b).mean(axis=1)
+    hist, _ = np.histogram(est, bins=n_bins, range=(0.0, 1.0))
+    return pd.DataFrame(
+        {
+            "bin_lo": np.round(np.arange(n_bins) / n_bins, 2),
+            "n_pairs": hist.astype("int64"),
+        }
+    )
+
+
 def image_clusters(sf_dir):
     """Flagship (rows-only): image+caption table derived deterministically
     from documents -> full dedup cluster assignment."""
@@ -771,5 +813,6 @@ QUERIES = {
     "simhash_text_pairs": simhash_text_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "decode_resize_features": decode_resize_features,
+    "random_pair_jaccard_hist": random_pair_jaccard_hist,
     "image_clusters": image_clusters,
 }

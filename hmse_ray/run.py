@@ -1,0 +1,99 @@
+"""CLI entry point (reference analog: tools argparse surface +
+``hmse_validate()`` device runs — SURVEY.md section 2.9).
+
+    python -m hmse_ray.run cluster   --input DIR --output DIR
+    python -m hmse_ray.run resumable --input-files F1 F2 ... --output DIR
+    python -m hmse_ray.run verify    --input DIR
+    python -m hmse_ray.run energy    --size-gb 75 --cf 9.375 --bandwidth-mbps 1
+
+Owns the Ray session (guarded init; shutdown on exit) — the only module
+besides bench.py and the test fixture that may do so.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="hmse_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("cluster", help="images parquet -> cluster assignments")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--num-cpus", type=int, default=32)
+    p.add_argument("--no-simhash", action="store_true")
+
+    p = sub.add_parser("resumable", help="checkpointed two-phase run")
+    p.add_argument("--input-files", nargs="+", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--partitions", type=int, default=8)
+    p.add_argument("--num-cpus", type=int, default=32)
+
+    p = sub.add_parser("verify", help="cluster + store + reconstruct + invariant")
+    p.add_argument("--input", required=True)
+    p.add_argument("--num-cpus", type=int, default=32)
+
+    p = sub.add_parser("energy", help="A7 energy break-even model")
+    p.add_argument("--size-gb", type=float, required=True)
+    p.add_argument("--cf", type=float, default=9.375)
+    p.add_argument("--bandwidth-mbps", type=float, default=1.0)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "energy":
+        from hmse_ray.tools import energy_model
+
+        e = energy_model.energy(args.size_gb, args.cf, args.bandwidth_mbps)
+        print(json.dumps({
+            "compression_wh": e.compression_wh,
+            "transmission_wh": e.transmission_wh,
+            "total_wh": e.total_wh,
+            "breakeven_cf": energy_model.breakeven_cf(args.size_gb, args.bandwidth_mbps),
+            "roi": energy_model.roi(args.size_gb, args.cf, args.bandwidth_mbps),
+        }))
+        return 0
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from hmse_ray.util import tune_data_context
+
+    tune_data_context(args.num_cpus)
+    try:
+        from hmse_ray.config import DEFAULT_CONFIG as cfg
+        from hmse_ray.pipelines import dedup
+
+        if args.cmd == "cluster":
+            clusters = dedup.cluster_assignments(
+                args.input, cfg, use_simhash=not args.no_simhash
+            )
+            clusters.write_parquet(args.output)
+            print(json.dumps({"rows": clusters.count(), "output": args.output}))
+        elif args.cmd == "resumable":
+            from hmse_ray.state import checkpoint
+
+            stats = checkpoint.run_resumable(
+                args.input_files, args.output, cfg, num_partitions=args.partitions
+            )
+            print(json.dumps(stats, default=str))
+        elif args.cmd == "verify":
+            from hmse_ray.pipelines import verify
+
+            clusters = dedup.cluster_assignments(args.input, cfg)
+            inv = verify.roundtrip(dedup.read_images(args.input), clusters, cfg)
+            print(json.dumps(inv, default=str))
+            if inv["caption_pass"] != inv["n_rows"]:
+                return 1
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
