@@ -121,14 +121,17 @@ def run_scaling() -> dict:
     lo = run(lo_n)
     hi = run(hi_n)
     eff = (lo["value"] / hi["value"]) / (hi_n / lo_n)
+    ceiling = _cpu_ceiling(lo_n, hi_n)
     res = {
-        "metric": "scaling efficiency, fresh ray.init at num_cpus=8 vs 32 "
-        "(sandbox substitute for N vs 4N nodes)",
-        "sec_8": lo["value"],
-        "sec_32": hi["value"],
-        "images_per_sec_8": lo["images_per_sec"],
-        "images_per_sec_32": hi["images_per_sec"],
+        "metric": f"scaling efficiency, fresh ray.init at num_cpus={lo_n} vs "
+        f"{hi_n} (sandbox substitute for N vs 4N nodes)",
+        f"sec_{lo_n}": lo["value"],
+        f"sec_{hi_n}": hi["value"],
+        f"images_per_sec_{lo_n}": lo["images_per_sec"],
+        f"images_per_sec_{hi_n}": hi["images_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        "host_cpu_ceiling": round(ceiling, 3),
+        "efficiency_vs_ceiling": round(eff / ceiling, 3),
         "bench_rows": lo["bench_rows"],
     }
     os.makedirs("BENCH", exist_ok=True)
@@ -138,12 +141,43 @@ def run_scaling() -> dict:
             f"| num_cpus | wall sec | images/sec |\n|---|---|---|\n"
             f"| {lo_n} | {lo['value']} | {lo['images_per_sec']} |\n"
             f"| {hi_n} | {hi['value']} | {hi['images_per_sec']} |\n\n"
-            f"scaling efficiency (throughput_32/throughput_8)/4 = "
-            f"**{res['scaling_efficiency']}** (target >= 0.8)\n"
-            f"rows={lo['bench_rows']}, per-query times at 32 cpus: "
+            f"scaling efficiency (throughput_{hi_n}/throughput_{lo_n})/{hi_n//lo_n} = "
+            f"**{res['scaling_efficiency']}** (target >= 0.8); host pure-CPU "
+            f"ceiling for the same ratio (multiprocessing burn calibration) = "
+            f"{res['host_cpu_ceiling']}; efficiency vs ceiling = "
+            f"**{res['efficiency_vs_ceiling']}**\n"
+            f"rows={lo['bench_rows']}, per-query times at {hi_n} cpus: "
             f"{json.dumps(hi['queries'])}\n"
         )
     return res
+
+
+def _cpu_ceiling(lo_n: int, hi_n: int) -> float:
+    """Measured upper bound for scaling on THIS host: even an
+    embarrassingly parallel pure-python burn cannot exceed this
+    (hyperthreads + VM throttling). Used to contextualize the pipeline
+    efficiency number, not to replace it."""
+    import multiprocessing as mp
+
+    def _wall(n: int) -> float:
+        t0 = time.time()
+        with mp.Pool(n) as p:
+            p.map(_burn, [0] * n)
+        return time.time() - t0
+
+    _wall(2)  # warm up / spin up fork infra
+    lo_w = min(_wall(lo_n) for _ in range(2))
+    hi_w = min(_wall(hi_n) for _ in range(2))
+    # n procs do n work units: throughput ratio / cpu ratio = lo_w/hi_w
+    # (1.0 when both walls are equal, i.e. perfect scaling)
+    return lo_w / hi_w if hi_w else 1.0
+
+
+def _burn(_):
+    x = 0
+    for i in range(6_000_000):
+        x += i * i
+    return x
 
 
 if __name__ == "__main__":

@@ -84,14 +84,25 @@ class SimHashSigner:
         return pa.table(cols)
 
 
+def _default_pool() -> tuple[int, int]:
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return (1, max(2, cpus // 2))
+
+
 def minhash_stage(ds, cfg: Config = DEFAULT_CONFIG, *, text_col="caption",
                   keep_cols=("image_id",), concurrency=None, batch_size: int = 512):
     """Attach MinHash signatures via an actor pool (narrow projection first).
 
-    concurrency defaults to an autoscaling (1, 8) pool so the signer
-    neither starves the read/shuffle stages nor idles on small inputs.
+    concurrency defaults to an autoscaling pool sized to the cluster
+    (half the CPUs; two signer pools run concurrently) so the signers
+    neither starve the read/shuffle stages nor thrash on small hosts.
     """
-    concurrency = concurrency or (1, 16)
+    concurrency = concurrency or _default_pool()
     ds = ds.select_columns(list(dict.fromkeys(keep_cols + (text_col,))))
     return ds.map_batches(
         MinHashSigner,
@@ -105,7 +116,7 @@ def minhash_stage(ds, cfg: Config = DEFAULT_CONFIG, *, text_col="caption",
 def simhash_stage(ds, cfg: Config = DEFAULT_CONFIG, *, keep_cols=("image_id",),
                   concurrency=None, batch_size: int = 256):
     """Attach image SimHash via an actor pool (bytes stay in this stage)."""
-    concurrency = concurrency or (1, 16)
+    concurrency = concurrency or _default_pool()
     need = list(dict.fromkeys(keep_cols + ("bytes", "w", "h", "fmt", "phash")))
     ds = ds.select_columns([c for c in need if c in ds.schema().names])
     return ds.map_batches(
