@@ -287,22 +287,24 @@ def events_window_agg(sf_dir):
         u = df["user_id"].to_numpy().astype(np.int64)
         return pd.DataFrame({"gkey": (u << 32) | w, "value": df["value"]})
 
-    agg = ev.map_batches(win, batch_format="pandas").groupby("gkey").aggregate(
-        Count(alias_name="n_events"), Sum("value", alias_name="sum_value")
-    )
+    # ~1 distinct group per row -> use the hash-partitioned vectorized
+    # aggregate (stages/aggregates.py), not the per-group builtin.
+    from hmse_ray.stages.aggregates import hash_partitioned_groupby
 
-    def unpack(t: pa.Table) -> pa.Table:
-        g = t["gkey"].to_numpy()
-        return pa.table(
+    def agg_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("gkey", sort=False)["value"].agg(["size", "sum"]).reset_index()
+        gk = g["gkey"].to_numpy()
+        return pd.DataFrame(
             {
-                "user_id": pa.array(g >> 32, pa.int64()),
-                "window": pa.array(g & 0xFFFFFFFF, pa.int64()),
-                "n_events": t["n_events"],
-                "sum_value": pc.round(t["sum_value"], ndigits=6),
+                "user_id": (gk >> 32).astype("int64"),
+                "window": (gk & 0xFFFFFFFF).astype("int64"),
+                "n_events": g["size"].astype("int64"),
+                "sum_value": np.round(g["sum"].to_numpy(), 6),
             }
         )
 
-    return agg.map_batches(unpack, batch_format="pyarrow")
+    keyed = ev.map_batches(win, batch_format="pandas")
+    return hash_partitioned_groupby(keyed, ["gkey"], agg_part)
 
 
 def orders_by_segment(sf_dir):
@@ -661,6 +663,21 @@ def decode_resize_features(sf_dir):
     )
 
 
+def lsh_hit_rate(sf_dir):
+    """A3 (rows-only): LSH candidate vs verified-match counts over the
+    documents table at the reference banding config."""
+    from hmse_ray.stages import lsh, signatures as sig_stage
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda t: pa.table(
+            {"image_id": pc.cast(t["doc_id"], pa.string()), "caption": t["text"]}
+        ),
+        batch_format="pyarrow",
+    )
+    mh = sig_stage.minhash_stage(docs, CFG)
+    return lsh.similarity_hit_rate(mh, CFG)
+
+
 def random_pair_jaccard_hist(sf_dir, n_bins: int = 10):
     """O2 (rows-only): seeded random document pairs -> Jaccard-estimate
     histogram for LSH calibration (README.md:2319-2324). Pairing is
@@ -814,5 +831,6 @@ QUERIES = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "decode_resize_features": decode_resize_features,
     "random_pair_jaccard_hist": random_pair_jaccard_hist,
+    "lsh_hit_rate": lsh_hit_rate,
     "image_clusters": image_clusters,
 }

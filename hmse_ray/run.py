@@ -59,12 +59,13 @@ def main(argv=None) -> int:
 
     import ray
 
-    if not ray.is_initialized():
+    owns_session = not ray.is_initialized()
+    if owns_session:
         ray.init(address="local", num_cpus=args.num_cpus,
                  include_dashboard=False, logging_level="ERROR")
-    from hmse_ray.util import tune_data_context
+        from hmse_ray.util import tune_data_context
 
-    tune_data_context(args.num_cpus)
+        tune_data_context(args.num_cpus)
     try:
         from hmse_ray.config import DEFAULT_CONFIG as cfg
         from hmse_ray.pipelines import dedup
@@ -91,7 +92,8 @@ def main(argv=None) -> int:
             if inv["caption_pass"] != inv["n_rows"]:
                 return 1
     finally:
-        ray.shutdown()
+        if owns_session:
+            ray.shutdown()
     return 0
 
 

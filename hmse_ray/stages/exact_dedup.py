@@ -60,16 +60,32 @@ def dedup_chunks(chunks_ds, cfg: Config = DEFAULT_CONFIG, id_col: str = "image_i
     winning copy), refcount (int64), chunk_len.
 
     This is THE exact-dedup shuffle (shuffle 1 of SURVEY.md section 4.2).
-    Entirely vectorized: no per-group Python anywhere.
+    sha256 is a near-unique key (one distinct group per unique chunk),
+    so the aggregate runs as a hash-partitioned vectorized pandas
+    groupby (stages/aggregates.py) — no per-group Python anywhere.
     """
+    import pandas as pd
+
+    from hmse_ray.stages.aggregates import hash_partitioned_groupby
+
     packed = chunks_ds.map_batches(
         lambda t: _pack_ref(t, id_col), batch_format="pyarrow"
-    )
-    return packed.groupby("sha256").aggregate(
-        Min("chunk_ref", alias_name="canonical_ref"),
-        Count(alias_name="refcount"),
-        Min("chunk_len", alias_name="chunk_len"),
-    )
+    ).select_columns(["sha256", "chunk_ref", "chunk_len"])
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby("sha256", sort=False)
+            .agg(
+                canonical_ref=("chunk_ref", "min"),
+                refcount=("chunk_ref", "size"),
+                chunk_len=("chunk_len", "min"),
+            )
+            .reset_index()
+        )
+        g["refcount"] = g["refcount"].astype("int64")
+        return g
+
+    return hash_partitioned_groupby(packed, ["sha256"], agg)
 
 
 def dedup_stats(index_ds):

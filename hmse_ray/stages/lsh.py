@@ -64,6 +64,71 @@ def dedup_pair_edges(edges_ds, val_col: str | None = "jaccard_est"):
     return out.drop_columns(["pairkey"])
 
 
+def _bucket_partition_frame(df, cfg: Config, payload: str):
+    """Vectorized star-edge computation for ALL buckets in one hash
+    partition (pandas frame sorted by (bucket, image_id)).
+
+    Returns (ids, rep_idx_per_row, payload-dependent similarity, keep
+    mask) building blocks shared by the minhash / simhash variants.
+    """
+    import pandas as pd
+
+    df = df.sort_values(["bucket", "image_id"], kind="stable").reset_index(drop=True)
+    n = len(df)
+    buckets = df["bucket"].to_numpy()
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    new[1:] = buckets[1:] != buckets[:-1]
+    starts = np.nonzero(new)[0]
+    rep_idx = starts[np.cumsum(new) - 1]  # per-row index of its bucket rep
+    return df, rep_idx
+
+
+def _star_edges_partition(df, cfg: Config):
+    """All verified MinHash star edges of one hash partition (vectorized:
+    one sort + one (n,128) comparison; zero per-bucket Python)."""
+    import pandas as pd
+
+    if len(df) == 0:
+        return pd.DataFrame(
+            {"id_a": pd.Series(dtype=str), "id_b": pd.Series(dtype=str),
+             "jaccard_est": pd.Series(dtype=float)}
+        )
+    df, rep_idx = _bucket_partition_frame(df, cfg, "minhash")
+    n = len(df)
+    M = np.stack(df["minhash"].to_numpy())  # (n, num_hashes)
+    est = (M == M[rep_idx]).mean(axis=1)
+    keep = (np.arange(n) != rep_idx) & (est >= cfg.jaccard_threshold)
+    ids = df["image_id"].to_numpy()
+    return pd.DataFrame(
+        {"id_a": ids[rep_idx[keep]], "id_b": ids[keep], "jaccard_est": est[keep]}
+    )
+
+
+def _simhash_star_partition(df, cfg: Config):
+    """All Hamming-verified SimHash star edges of one hash partition."""
+    import pandas as pd
+
+    if len(df) == 0:
+        return pd.DataFrame(
+            {"id_a": pd.Series(dtype=str), "id_b": pd.Series(dtype=str),
+             "jaccard_est": pd.Series(dtype=float)}
+        )
+    df, rep_idx = _bucket_partition_frame(df, cfg, "simhash")
+    n = len(df)
+    sims = df["simhash"].to_numpy()
+    ham = simhash.hamming64(sims, sims[rep_idx])
+    keep = (np.arange(n) != rep_idx) & (ham <= cfg.simhash_hamming_threshold)
+    ids = df["image_id"].to_numpy()
+    return pd.DataFrame(
+        {
+            "id_a": ids[rep_idx[keep]],
+            "id_b": ids[keep],
+            "jaccard_est": 1.0 - ham[keep] / 64.0,
+        }
+    )
+
+
 def _salt_of(ids: pa.Array, num_salts: int) -> np.ndarray:
     if num_salts <= 1:
         return np.zeros(len(ids), dtype=np.uint64)
@@ -225,11 +290,13 @@ def _simhash_star_group(group: pa.Table, cfg: Config) -> pa.Table:
 
 def simhash_candidate_pairs(simhash_ds, cfg: Config = DEFAULT_CONFIG, num_salts: int = 1):
     """Verified image near-dup pairs: (id_a, id_b, jaccard_est=1-ham/64)."""
+    from hmse_ray.stages.aggregates import hash_partitioned_groupby
+
     bands = simhash_ds.map_batches(
         lambda t: _simhash_bands_with_payload(t, cfg, num_salts), batch_format="pyarrow"
     )
-    edges = bands.groupby("bucket").map_groups(
-        lambda g: _simhash_star_group(g, cfg), batch_format="pyarrow"
+    edges = hash_partitioned_groupby(
+        bands, ["bucket"], lambda df: _simhash_star_partition(df, cfg)
     )
     return dedup_pair_edges(edges)
 
@@ -241,6 +308,69 @@ def _simhash_bands_with_payload(sim_batch: pa.Table, cfg: Config, num_salts: int
     ) else sim_batch["simhash"]
     nb = t.num_rows // sim_batch.num_rows
     return t.append_column("simhash", pa.concat_arrays([sims] * nb))
+
+
+def _bucket_count_group(group: pa.Table, cfg: Config) -> pa.Table:
+    """Per-bucket candidate vs verified counts (A3 hit-rate input)."""
+    n = group.num_rows
+    if n < 2:
+        return pa.table(
+            {"n_candidates": pa.array([], pa.int64()), "n_matches": pa.array([], pa.int64())}
+        )
+    ids = group["image_id"].to_pylist()
+    rep_i = int(np.argmin(np.asarray(ids, dtype=object)))
+    sigs = np.asarray(group["minhash"].combine_chunks().flatten()).reshape(n, -1)
+    est = (sigs == sigs[rep_i]).mean(axis=1)
+    keep = (est >= cfg.jaccard_threshold) & (np.arange(n) != rep_i)
+    return pa.table(
+        {
+            "n_candidates": pa.array([n - 1], pa.int64()),
+            "n_matches": pa.array([int(keep.sum())], pa.int64()),
+        }
+    )
+
+
+def similarity_hit_rate(minhash_ds, cfg: Config = DEFAULT_CONFIG):
+    """A3 (VALIDATION_METHODS.md:264): N_LSH_matches / N_candidate_pairs.
+
+    One row: n_candidates, n_matches, hit_rate — candidates are star
+    probes per bucket; matches pass the Jaccard verification.
+    """
+    from ray.data.aggregate import Sum
+
+    from hmse_ray.stages.aggregates import hash_partitioned_groupby
+
+    bands = minhash_ds.map_batches(
+        lambda t: band_explode(t, cfg, 1, carry_sig=True), batch_format="pyarrow"
+    )
+
+    def count_part(df):
+        import pandas as pd
+
+        if len(df) == 0:
+            return pd.DataFrame({"n_candidates": [0], "n_matches": [0]})
+        dfp, rep_idx = _bucket_partition_frame(df, cfg, "minhash")
+        n = len(dfp)
+        M = np.stack(dfp["minhash"].to_numpy())
+        est = (M == M[rep_idx]).mean(axis=1)
+        nonrep = np.arange(n) != rep_idx
+        keep = nonrep & (est >= cfg.jaccard_threshold)
+        return pd.DataFrame(
+            {"n_candidates": [int(nonrep.sum())], "n_matches": [int(keep.sum())]}
+        )
+
+    counts = hash_partitioned_groupby(bands, ["bucket"], count_part)
+    agg = counts.aggregate(
+        Sum("n_candidates", alias_name="n_candidates"),
+        Sum("n_matches", alias_name="n_matches"),
+    )
+    nc = agg.get("n_candidates") or 0
+    nm = agg.get("n_matches") or 0
+    import pandas as pd
+
+    return pd.DataFrame(
+        [{"n_candidates": nc, "n_matches": nm, "hit_rate": nm / max(1, nc)}]
+    )
 
 
 def _rep_row_group(group: pa.Table, num_salts: int) -> pa.Table:
@@ -270,12 +400,14 @@ def candidate_pairs(minhash_ds, cfg: Config = DEFAULT_CONFIG, num_salts: int = 1
     smaller pass links the sub-bucket representatives of each parent
     bucket so recall across sub-buckets is preserved.
     """
+    from hmse_ray.stages.aggregates import hash_partitioned_groupby
+
     bands = minhash_ds.map_batches(
         lambda t: band_explode(t, cfg, num_salts, carry_sig=True),
         batch_format="pyarrow",
     )
-    edges = bands.groupby("bucket").map_groups(
-        lambda g: _star_edges_group(g, cfg), batch_format="pyarrow"
+    edges = hash_partitioned_groupby(
+        bands, ["bucket"], lambda df: _star_edges_partition(df, cfg)
     )
     if num_salts > 1:
         reps = bands.groupby("bucket").map_groups(
