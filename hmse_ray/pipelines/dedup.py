@@ -43,14 +43,112 @@ def _branch(images, columns):
     return images.select_columns(columns)
 
 
+def _dedup_captions_first(mh_src, cfg: Config):
+    """Exact-dedup captions BEFORE signing: one MinHash per DISTINCT
+    caption + free (rep, member) exact-dup edges.
+
+    At replication factor R this cuts signature compute ~R x (the
+    dominant flagship cost) for one extra narrow shuffle keyed on
+    sha256(caption). Connectivity is unchanged: members attach to their
+    representative with jaccard 1.0, and the representative carries the
+    group into the LSH graph (duplicate signatures are identical, so the
+    direct path would produce the same components).
+
+    Returns (unique_caps_ds(image_id, caption), exact_edges_ds(id_a,
+    id_b, jaccard_est)).
+    """
+    import hashlib
+
+    import pandas as pd
+
+    from hmse_ray.stages.aggregates import hash_partitioned_groupby
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        caps = batch["caption"].to_pylist()
+        keys = [hashlib.sha256((c or "").encode()).hexdigest() for c in caps]
+        return pa.table(
+            {
+                "capkey": pa.array(keys, pa.string()),
+                "image_id": batch["image_id"],
+                "caption": batch["caption"],
+            }
+        )
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["capkey", "image_id"], kind="stable")
+        rep = df.groupby("capkey", sort=False).first().reset_index()
+        uniq = pd.DataFrame(
+            {
+                "kind": "uniq",
+                "id_a": rep["image_id"],
+                "id_b": "",
+                "caption": rep["caption"],
+            }
+        )
+        j = df.merge(
+            rep[["capkey", "image_id"]].rename(columns={"image_id": "rep_id"}),
+            on="capkey",
+        )
+        mem = j[j["image_id"] != j["rep_id"]]
+        edges = pd.DataFrame(
+            {
+                "kind": "edge",
+                "id_a": mem["rep_id"].to_numpy(),
+                "id_b": mem["image_id"].to_numpy(),
+                "caption": "",
+            }
+        )
+        return pd.concat([uniq, edges], ignore_index=True)
+
+    both = hash_partitioned_groupby(
+        mh_src.map_batches(keyed, batch_format="pyarrow"), ["capkey"], part
+    ).materialize()
+
+    import pyarrow.compute as pc
+
+    uniq = both.map_batches(
+        lambda t: pa.table(
+            {
+                "image_id": t.filter(pc.equal(t["kind"], "uniq"))["id_a"],
+                "caption": t.filter(pc.equal(t["kind"], "uniq"))["caption"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    edges = both.map_batches(
+        lambda t: (
+            lambda f: pa.table(
+                {
+                    "id_a": f["id_a"],
+                    "id_b": f["id_b"],
+                    "jaccard_est": pa.array([1.0] * f.num_rows, pa.float64()),
+                }
+            )
+        )(t.filter(pc.equal(t["kind"], "edge"))),
+        batch_format="pyarrow",
+    )
+    return uniq, edges
+
+
 def candidate_pair_edges(images, cfg: Config = DEFAULT_CONFIG, *,
                          use_simhash: bool = True, concurrency=None,
-                         num_salts: int = 1):
+                         num_salts: int = 1, dedup_first: bool = True):
     """images (path | Table | Dataset) -> verified candidate pairs
-    (id_a, id_b, jaccard_est): caption MinHash path + image SimHash path."""
+    (id_a, id_b, jaccard_est): caption MinHash path + image SimHash path.
+
+    dedup_first: exact-dedup captions before the MinHash actor pool
+    (sign each distinct caption once) — right whenever the corpus has
+    meaningful exact replication; set False for mostly-unique corpora to
+    skip the extra shuffle.
+    """
     mh_src = _branch(images, ["image_id", "caption"])
-    mh = signatures.minhash_stage(mh_src, cfg, concurrency=concurrency)
-    pairs = lsh.candidate_pairs(mh, cfg, num_salts=num_salts)
+    if dedup_first:
+        uniq, exact_edges = _dedup_captions_first(mh_src, cfg)
+        mh = signatures.minhash_stage(uniq, cfg, concurrency=concurrency)
+        pairs = lsh.candidate_pairs(mh, cfg, num_salts=num_salts).union(exact_edges)
+    else:
+        mh = signatures.minhash_stage(mh_src, cfg, concurrency=concurrency)
+        pairs = lsh.candidate_pairs(mh, cfg, num_salts=num_salts)
     if use_simhash:
         sh_src = _branch(images, ["image_id", "bytes", "w", "h", "fmt", "phash"])
         sh = signatures.simhash_stage(sh_src, cfg, concurrency=concurrency)
@@ -60,7 +158,7 @@ def candidate_pair_edges(images, cfg: Config = DEFAULT_CONFIG, *,
 
 def cluster_assignments(images, cfg: Config = DEFAULT_CONFIG, *,
                         use_simhash: bool = True, concurrency=None,
-                        num_salts: int = 1,
+                        num_salts: int = 1, dedup_first: bool = True,
                         force_distributed: bool | None = None):
     """images -> (image_id, cluster_id) Dataset (all images).
 
@@ -70,7 +168,7 @@ def cluster_assignments(images, cfg: Config = DEFAULT_CONFIG, *,
     """
     pairs = candidate_pair_edges(
         images, cfg, use_simhash=use_simhash, concurrency=concurrency,
-        num_salts=num_salts,
+        num_salts=num_salts, dedup_first=dedup_first,
     )
     ids_ds = _branch(images, ["image_id"])
     return clustering.cluster_from_edges(

@@ -69,6 +69,18 @@ class TestFlagship:
         b = again.sort_values("image_id").reset_index(drop=True)
         assert a.equals(b)
 
+    def test_dedup_first_matches_direct(self, ray_session, fixture_dir, cluster_df):
+        # dedup-before-sign must yield the same components as signing
+        # every row (duplicate signatures are identical)
+        from hmse_ray.pipelines import dedup
+
+        direct = dedup.cluster_assignments(
+            fixture_dir + "/images", CFG, dedup_first=False
+        ).to_pandas()
+        a = cluster_df.sort_values("image_id").reset_index(drop=True)
+        b = direct.sort_values("image_id").reset_index(drop=True)
+        assert a.equals(b)
+
     def test_distributed_cc_matches_driver(self, ray_session, fixture_dir, cluster_df):
         from hmse_ray.pipelines import dedup
 
