@@ -132,14 +132,17 @@ def _dedup_captions_first(mh_src, cfg: Config):
 
 def candidate_pair_edges(images, cfg: Config = DEFAULT_CONFIG, *,
                          use_simhash: bool = True, concurrency=None,
-                         num_salts: int = 1, dedup_first: bool = True):
+                         num_salts: int = 1, dedup_first: bool = False):
     """images (path | Table | Dataset) -> verified candidate pairs
     (id_a, id_b, jaccard_est): caption MinHash path + image SimHash path.
 
     dedup_first: exact-dedup captions before the MinHash actor pool
-    (sign each distinct caption once) — right whenever the corpus has
-    meaningful exact replication; set False for mostly-unique corpora to
-    skip the extra shuffle.
+    (sign each distinct caption once). Off by default: measured a net
+    LOSS at ~1.3x replication on this host (the extra caption shuffle +
+    materialization costs more than the signatures saved); enable for
+    heavily replicated corpora (the reference's 5-copies scenario,
+    crawl data with mirror duplication) where savings scale with the
+    replication factor.
     """
     mh_src = _branch(images, ["image_id", "caption"])
     if dedup_first:
@@ -158,7 +161,7 @@ def candidate_pair_edges(images, cfg: Config = DEFAULT_CONFIG, *,
 
 def cluster_assignments(images, cfg: Config = DEFAULT_CONFIG, *,
                         use_simhash: bool = True, concurrency=None,
-                        num_salts: int = 1, dedup_first: bool = True,
+                        num_salts: int = 1, dedup_first: bool = False,
                         force_distributed: bool | None = None):
     """images -> (image_id, cluster_id) Dataset (all images).
 

@@ -75,7 +75,7 @@ class TestFlagship:
         from hmse_ray.pipelines import dedup
 
         direct = dedup.cluster_assignments(
-            fixture_dir + "/images", CFG, dedup_first=False
+            fixture_dir + "/images", CFG, dedup_first=True
         ).to_pandas()
         a = cluster_df.sort_values("image_id").reset_index(drop=True)
         b = direct.sort_values("image_id").reset_index(drop=True)
