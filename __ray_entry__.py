@@ -17,19 +17,36 @@ from collections.abc import Callable
 from typing import Any
 
 
+def _tuned(fn: Callable) -> Callable:
+    """Apply the session DataContext tuning (min_parallelism sized to the
+    cluster — NOT ray.init; the driver owns the session) before a query
+    runs. Idempotent and cheap."""
+
+    def wrapped(*a, **kw):
+        try:
+            from hmse_ray.util import tune_data_context
+
+            tune_data_context()
+        except Exception:
+            pass
+        return fn(*a, **kw)
+
+    return wrapped
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: image+caption table ->
     dedup cluster assignments (image_id, cluster_id)."""
     from hmse_ray.pipelines.queries import image_clusters
 
-    return image_clusters("/root/testdata/sf0.001")
+    return _tuned(image_clusters)("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md section 2."""
     from hmse_ray.pipelines.queries import QUERIES
 
-    return dict(QUERIES)
+    return {name: _tuned(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

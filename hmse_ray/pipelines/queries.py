@@ -316,16 +316,23 @@ def orders_by_segment(sf_dir):
         )
         .to_pandas()
     )
-    seg_of = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    # broadcast a vectorized lookup: dense custkey -> segment-code array
+    # (ray.put once; O(1) numpy take per batch, no per-row Python)
+    segs = sorted(cust["c_mktsegment"].unique())
+    seg_idx = {s: i for i, s in enumerate(segs)}
+    lut = np.full(int(cust["c_custkey"].max()) + 1, -1, dtype=np.int32)
+    lut[cust["c_custkey"].to_numpy()] = cust["c_mktsegment"].map(seg_idx).to_numpy()
+    bcast = ray.put((lut, segs))
     orders = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
     )
 
     def join(df: pd.DataFrame) -> pd.DataFrame:
-        m = ray.get(seg_of)
+        lut_, segs_ = ray.get(bcast)
+        codes = lut_[df["o_custkey"].to_numpy()]
         return pd.DataFrame(
             {
-                "c_mktsegment": df["o_custkey"].map(m),
+                "c_mktsegment": pd.Categorical.from_codes(codes, segs_).astype(str),
                 "o_totalprice": df["o_totalprice"],
             }
         )
