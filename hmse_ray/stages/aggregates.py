@@ -20,22 +20,27 @@ import pandas as pd
 import pyarrow as pa
 
 
+def _resolve_partitions(num_partitions: int | None) -> int:
+    if num_partitions is not None:
+        return num_partitions
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(8, 2 * cpus)
+
+
 def hash_partitioned_groupby(ds, key_cols: list[str], apply_fn,
                              num_partitions: int | None = None):
-    """Exact grouped aggregate for high-cardinality keys.
+    """Exact grouped aggregate for high-cardinality keys (pandas form).
 
     apply_fn: pandas.DataFrame -> pandas.DataFrame, applied once per
     hash partition (NOT per group); it must do its own groupby(key_cols)
     internally (vectorized).
     """
-    if num_partitions is None:
-        import ray
-
-        try:
-            cpus = int(ray.cluster_resources().get("CPU", 8))
-        except Exception:
-            cpus = 8
-        num_partitions = max(8, 2 * cpus)
+    num_partitions = _resolve_partitions(num_partitions)
 
     def add_part(df: pd.DataFrame) -> pd.DataFrame:
         h = np.zeros(len(df), dtype=np.uint64)
@@ -57,4 +62,32 @@ def hash_partitioned_groupby(ds, key_cols: list[str], apply_fn,
         ds.map_batches(add_part, batch_format="pandas")
         .groupby("_part")
         .map_groups(per_partition, batch_format="pandas")
+    )
+
+
+def hash_partitioned_groupby_arrow(ds, key_col: str, apply_fn,
+                                   num_partitions: int | None = None):
+    """Arrow-native variant for a single int64 key column.
+
+    Avoids pandas conversions entirely — important when rows carry
+    fixed-size-list columns (signatures): the pandas path boxes every
+    cell into a numpy object array.
+
+    apply_fn: pyarrow.Table -> pyarrow.Table, once per hash partition.
+    """
+    num_partitions = _resolve_partitions(num_partitions)
+    mul = np.uint64(0x9E3779B97F4A7C15)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        v = t[key_col].to_numpy().astype(np.int64).view(np.uint64)
+        part = ((v * mul) >> np.uint64(33)) % np.uint64(num_partitions)
+        return t.append_column("_part", pa.array(part.view(np.int64), pa.int64()))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        return apply_fn(t.drop_columns(["_part"]))
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(per_partition, batch_format="pyarrow")
     )

@@ -64,67 +64,67 @@ def dedup_pair_edges(edges_ds, val_col: str | None = "jaccard_est"):
     return out.drop_columns(["pairkey"])
 
 
-def _bucket_partition_frame(df, cfg: Config, payload: str):
-    """Vectorized star-edge computation for ALL buckets in one hash
-    partition (pandas frame sorted by (bucket, image_id)).
+_EMPTY_EDGES = pa.table(
+    {
+        "id_a": pa.array([], pa.string()),
+        "id_b": pa.array([], pa.string()),
+        "jaccard_est": pa.array([], pa.float64()),
+    }
+)
 
-    Returns (ids, rep_idx_per_row, payload-dependent similarity, keep
-    mask) building blocks shared by the minhash / simhash variants.
-    """
-    import pandas as pd
 
-    df = df.sort_values(["bucket", "image_id"], kind="stable").reset_index(drop=True)
-    n = len(df)
-    buckets = df["bucket"].to_numpy()
+def _bucket_partition_table(t: pa.Table):
+    """Sort one hash partition by (bucket, image_id); return per-row
+    index of each row's bucket representative (the bucket minimum)."""
+    t = t.sort_by([("bucket", "ascending"), ("image_id", "ascending")])
+    buckets = t["bucket"].to_numpy()
+    n = len(buckets)
     new = np.empty(n, dtype=bool)
     new[0] = True
     new[1:] = buckets[1:] != buckets[:-1]
     starts = np.nonzero(new)[0]
-    rep_idx = starts[np.cumsum(new) - 1]  # per-row index of its bucket rep
-    return df, rep_idx
+    rep_idx = starts[np.cumsum(new) - 1]
+    return t, rep_idx
 
 
-def _star_edges_partition(df, cfg: Config):
-    """All verified MinHash star edges of one hash partition (vectorized:
-    one sort + one (n,128) comparison; zero per-bucket Python)."""
-    import pandas as pd
-
-    if len(df) == 0:
-        return pd.DataFrame(
-            {"id_a": pd.Series(dtype=str), "id_b": pd.Series(dtype=str),
-             "jaccard_est": pd.Series(dtype=float)}
-        )
-    df, rep_idx = _bucket_partition_frame(df, cfg, "minhash")
-    n = len(df)
-    M = np.stack(df["minhash"].to_numpy())  # (n, num_hashes)
+def _star_edges_partition(t: pa.Table, cfg: Config) -> pa.Table:
+    """All verified MinHash star edges of one hash partition —
+    arrow-native (the signature matrix is a zero-copy reshape of the
+    fixed-size-list buffer; no per-bucket Python, no object boxing)."""
+    if t.num_rows == 0:
+        return _EMPTY_EDGES
+    t, rep_idx = _bucket_partition_table(t)
+    n = t.num_rows
+    M = np.asarray(t["minhash"].combine_chunks().flatten()).reshape(n, -1)
     est = (M == M[rep_idx]).mean(axis=1)
     keep = (np.arange(n) != rep_idx) & (est >= cfg.jaccard_threshold)
-    ids = df["image_id"].to_numpy()
-    return pd.DataFrame(
-        {"id_a": ids[rep_idx[keep]], "id_b": ids[keep], "jaccard_est": est[keep]}
+    ids = t["image_id"].combine_chunks()
+    keep_i = np.nonzero(keep)[0]
+    return pa.table(
+        {
+            "id_a": ids.take(pa.array(rep_idx[keep_i], pa.int64())),
+            "id_b": ids.take(pa.array(keep_i, pa.int64())),
+            "jaccard_est": pa.array(est[keep_i], pa.float64()),
+        }
     )
 
 
-def _simhash_star_partition(df, cfg: Config):
+def _simhash_star_partition(t: pa.Table, cfg: Config) -> pa.Table:
     """All Hamming-verified SimHash star edges of one hash partition."""
-    import pandas as pd
-
-    if len(df) == 0:
-        return pd.DataFrame(
-            {"id_a": pd.Series(dtype=str), "id_b": pd.Series(dtype=str),
-             "jaccard_est": pd.Series(dtype=float)}
-        )
-    df, rep_idx = _bucket_partition_frame(df, cfg, "simhash")
-    n = len(df)
-    sims = df["simhash"].to_numpy()
+    if t.num_rows == 0:
+        return _EMPTY_EDGES
+    t, rep_idx = _bucket_partition_table(t)
+    n = t.num_rows
+    sims = t["simhash"].to_numpy()
     ham = simhash.hamming64(sims, sims[rep_idx])
     keep = (np.arange(n) != rep_idx) & (ham <= cfg.simhash_hamming_threshold)
-    ids = df["image_id"].to_numpy()
-    return pd.DataFrame(
+    ids = t["image_id"].combine_chunks()
+    keep_i = np.nonzero(keep)[0]
+    return pa.table(
         {
-            "id_a": ids[rep_idx[keep]],
-            "id_b": ids[keep],
-            "jaccard_est": 1.0 - ham[keep] / 64.0,
+            "id_a": ids.take(pa.array(rep_idx[keep_i], pa.int64())),
+            "id_b": ids.take(pa.array(keep_i, pa.int64())),
+            "jaccard_est": pa.array(1.0 - ham[keep_i] / 64.0, pa.float64()),
         }
     )
 
@@ -290,13 +290,13 @@ def _simhash_star_group(group: pa.Table, cfg: Config) -> pa.Table:
 
 def simhash_candidate_pairs(simhash_ds, cfg: Config = DEFAULT_CONFIG, num_salts: int = 1):
     """Verified image near-dup pairs: (id_a, id_b, jaccard_est=1-ham/64)."""
-    from hmse_ray.stages.aggregates import hash_partitioned_groupby
+    from hmse_ray.stages.aggregates import hash_partitioned_groupby_arrow
 
     bands = simhash_ds.map_batches(
         lambda t: _simhash_bands_with_payload(t, cfg, num_salts), batch_format="pyarrow"
     )
-    edges = hash_partitioned_groupby(
-        bands, ["bucket"], lambda df: _simhash_star_partition(df, cfg)
+    edges = hash_partitioned_groupby_arrow(
+        bands, "bucket", lambda t: _simhash_star_partition(t, cfg)
     )
     return dedup_pair_edges(edges)
 
@@ -338,28 +338,30 @@ def similarity_hit_rate(minhash_ds, cfg: Config = DEFAULT_CONFIG):
     """
     from ray.data.aggregate import Sum
 
-    from hmse_ray.stages.aggregates import hash_partitioned_groupby
+    from hmse_ray.stages.aggregates import hash_partitioned_groupby_arrow
 
     bands = minhash_ds.map_batches(
         lambda t: band_explode(t, cfg, 1, carry_sig=True), batch_format="pyarrow"
     )
 
-    def count_part(df):
-        import pandas as pd
-
-        if len(df) == 0:
-            return pd.DataFrame({"n_candidates": [0], "n_matches": [0]})
-        dfp, rep_idx = _bucket_partition_frame(df, cfg, "minhash")
-        n = len(dfp)
-        M = np.stack(dfp["minhash"].to_numpy())
+    def count_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"n_candidates": pa.array([0], pa.int64()),
+                 "n_matches": pa.array([0], pa.int64())}
+            )
+        tp, rep_idx = _bucket_partition_table(t)
+        n = tp.num_rows
+        M = np.asarray(tp["minhash"].combine_chunks().flatten()).reshape(n, -1)
         est = (M == M[rep_idx]).mean(axis=1)
         nonrep = np.arange(n) != rep_idx
         keep = nonrep & (est >= cfg.jaccard_threshold)
-        return pd.DataFrame(
-            {"n_candidates": [int(nonrep.sum())], "n_matches": [int(keep.sum())]}
+        return pa.table(
+            {"n_candidates": pa.array([int(nonrep.sum())], pa.int64()),
+             "n_matches": pa.array([int(keep.sum())], pa.int64())}
         )
 
-    counts = hash_partitioned_groupby(bands, ["bucket"], count_part)
+    counts = hash_partitioned_groupby_arrow(bands, "bucket", count_part)
     agg = counts.aggregate(
         Sum("n_candidates", alias_name="n_candidates"),
         Sum("n_matches", alias_name="n_matches"),
@@ -400,14 +402,14 @@ def candidate_pairs(minhash_ds, cfg: Config = DEFAULT_CONFIG, num_salts: int = 1
     smaller pass links the sub-bucket representatives of each parent
     bucket so recall across sub-buckets is preserved.
     """
-    from hmse_ray.stages.aggregates import hash_partitioned_groupby
+    from hmse_ray.stages.aggregates import hash_partitioned_groupby_arrow
 
     bands = minhash_ds.map_batches(
         lambda t: band_explode(t, cfg, num_salts, carry_sig=True),
         batch_format="pyarrow",
     )
-    edges = hash_partitioned_groupby(
-        bands, ["bucket"], lambda df: _star_edges_partition(df, cfg)
+    edges = hash_partitioned_groupby_arrow(
+        bands, "bucket", lambda t: _star_edges_partition(t, cfg)
     )
     if num_salts > 1:
         reps = bands.groupby("bucket").map_groups(
