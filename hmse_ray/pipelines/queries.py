@@ -307,6 +307,50 @@ def events_window_agg(sf_dir):
     return hash_partitioned_groupby(keyed, ["gkey"], agg_part)
 
 
+def events_sessionize(sf_dir, gap_sec: int = 1800):
+    """Session windows per user (30-min inactivity gap): the
+    streaming-shaped stateful operator of the guide — users are
+    hash-partitioned, sessions computed vectorized within partition
+    (sort + diff + cumsum), exact because a user's events land wholly in
+    one partition."""
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"]
+    )
+    from hmse_ray.stages.aggregates import hash_partitioned_groupby
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"], kind="stable").reset_index(drop=True)
+        ts_s = (df["ts"].astype("int64") // 10**6).to_numpy()
+        users = df["user_id"].to_numpy()
+        n = len(df)
+        new_sess = np.ones(n, dtype=bool)
+        if n > 1:
+            same_user = users[1:] == users[:-1]
+            new_sess[1:] = ~same_user | ((ts_s[1:] - ts_s[:-1]) > gap_sec)
+        # per-user 1-based session numbering
+        sid = np.cumsum(new_sess)
+        user_first_sid = pd.Series(sid).groupby(users).transform("min").to_numpy()
+        sess_local = sid - user_first_sid + 1
+        g = pd.DataFrame(
+            {
+                "user_id": users,
+                "session_id": sess_local.astype("int64"),
+                "value": df["value"].to_numpy(),
+                "ts_s": ts_s,
+            }
+        ).groupby(["user_id", "session_id"], sort=False)
+        out = g.agg(
+            n_events=("value", "size"),
+            sum_value=("value", "sum"),
+            session_start=("ts_s", "min"),
+        ).reset_index()
+        out["n_events"] = out["n_events"].astype("int64")
+        out["sum_value"] = np.round(out["sum_value"].to_numpy(), 6)
+        return out
+
+    return hash_partitioned_groupby(ev, ["user_id"], part)
+
+
 def orders_by_segment(sf_dir):
     """Broadcast hash join (small side via ray.put) + grouped aggregate:
     revenue per customer market segment."""
@@ -793,6 +837,25 @@ ORACLES = {
                round(SUM(value), 6) AS sum_value
         FROM events GROUP BY 1, 2
     """,
+    "events_sessionize": """
+        WITH d AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), s AS (
+          SELECT user_id, ts, value,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM d
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               COUNT(*) AS n_events, round(SUM(value), 6) AS sum_value,
+               CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start
+        FROM s GROUP BY user_id, session_id
+    """,
     "orders_by_segment": """
         SELECT c.c_mktsegment, COUNT(*) AS n_orders,
                round(SUM(o.o_totalprice), 2) AS revenue
@@ -828,6 +891,7 @@ QUERIES = {
     "top_longest_docs": top_longest_docs,
     "sample_docs": sample_docs,
     "events_window_agg": events_window_agg,
+    "events_sessionize": events_sessionize,
     "orders_by_segment": orders_by_segment,
     "ann_topk": ann_topk,
     "ann_topk_lsh": ann_topk_lsh,
