@@ -108,8 +108,17 @@ def run_phase1_partition(files: list[str], out_dir: str, p: int,
     return metrics
 
 
-def run_phase2(out_dir: str, cfg: Config = DEFAULT_CONFIG) -> dict:
-    """Global shuffles over the phase-1 parquet; atomic final commit."""
+def run_phase2(out_dir: str, cfg: Config = DEFAULT_CONFIG,
+               input_files: list[str] | None = None,
+               write_store: bool = False) -> dict:
+    """Global shuffles over the phase-1 parquet; atomic final commit.
+
+    write_store: additionally join the final clusters back to the
+    original payload rows and persist the full/pointer/delta store table
+    (reference write path S2) + per-kind stats. Off by default — the
+    cluster assignment is the north-rule product; the store table
+    re-reads every payload.
+    """
     t0 = time.time()
     import glob
 
@@ -135,8 +144,18 @@ def run_phase2(out_dir: str, cfg: Config = DEFAULT_CONFIG) -> dict:
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     os.makedirs(tmp)
+    clusters = clusters.materialize()
     clusters.write_parquet(os.path.join(tmp, "clusters"))
     index.write_parquet(os.path.join(tmp, "chunk_index"))
+    if write_store and input_files:
+        from hmse_ray.stages import store as store_stage
+
+        images = rd.read_parquet(input_files)
+        st = store_stage.store_table(images, clusters, cfg).materialize()
+        st.write_parquet(os.path.join(tmp, "store"))
+        stats["store_kinds"] = store_stage.store_kind_stats(st).to_pandas().to_dict(
+            "records"
+        )
     stats["phase2_wall_sec"] = round(time.time() - t0, 3)
     with open(os.path.join(tmp, "metrics.json"), "w") as f:
         json.dump(stats, f, indent=1, default=str)
@@ -148,7 +167,8 @@ def run_phase2(out_dir: str, cfg: Config = DEFAULT_CONFIG) -> dict:
 
 def run_resumable(input_files: list[str], out_dir: str,
                   cfg: Config = DEFAULT_CONFIG, num_partitions: int = 8,
-                  concurrency=None, stop_after: int | None = None) -> dict:
+                  concurrency=None, stop_after: int | None = None,
+                  write_store: bool = False) -> dict:
     """Full resumable run. ``stop_after`` kills the job after N phase-1
     partitions (test hook simulating failure mid-run)."""
     os.makedirs(out_dir, exist_ok=True)
@@ -162,6 +182,6 @@ def run_resumable(input_files: list[str], out_dir: str,
             raise RuntimeError(f"simulated kill after {stop_after} partitions")
         part_metrics.append(run_phase1_partition(assign[p], out_dir, p, cfg, concurrency))
         done += 1
-    stats = run_phase2(out_dir, cfg)
+    stats = run_phase2(out_dir, cfg, input_files=input_files, write_store=write_store)
     stats["partitions"] = part_metrics
     return stats

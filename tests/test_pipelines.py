@@ -176,8 +176,13 @@ class TestResume:
         images = pq.read_table(fixture_dir + "/images")
         files = fixtures.write_sharded(images, str(tmp_path / "s2"), shards=3)
         out = str(tmp_path / "run_m")
-        stats = checkpoint.run_resumable(files, out, CFG, num_partitions=2)
+        stats = checkpoint.run_resumable(
+            files, out, CFG, num_partitions=2, write_store=True
+        )
         assert stats["n_total"] >= stats["n_unique"] > 0
+        kinds = {r["store_kind"] for r in stats["store_kinds"]}
+        assert "full" in kinds and "pointer" in kinds
+        assert os.path.exists(os.path.join(out, "final", "store"))
         for pm in stats["partitions"]:
             assert pm["partition_dedup_ratio"] >= 1.0
             assert pm["n_rows"] > 0
