@@ -18,7 +18,9 @@ Operator coverage map (SURVEY.md section 2 -> query):
   sampling O1 .............. sample_docs
   grouped agg (sec 2.5) .... dup_ratio_by_source, events_window_agg
   join (sec 2.4) ........... orders_by_segment (broadcast hash join)
-  streaming window (guide) . events_window_agg
+  streaming windows ........ events_window_agg (tumbling), events_sessionize
+                             (session windows, SQL-checked)
+  A3 hit rate .............. lsh_hit_rate;  O2 ....... random_pair_jaccard_hist
   text analysis (graft) .... token_counts, char_class_profile,
                              lang_id_docs, quality_docs, doc_fingerprints
   similarity search ........ ann_topk (brute-force cosine), ann_topk_lsh
