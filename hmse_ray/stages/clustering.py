@@ -207,7 +207,17 @@ def cluster_from_edges(edges_ds, images_ds, cfg: Config = DEFAULT_CONFIG,
     id column inside map_batches — singletons label themselves; no
     all-to-all join of the full input anywhere.
     """
-    names = edges_ds.schema().names
+    schema = edges_ds.schema()
+    if schema is None:  # no candidate edges at all -> everything singleton
+        import pyarrow as _pa
+
+        import ray.data as _rd
+
+        edges_ds = _rd.from_arrow(
+            _pa.table({"src": _pa.array([], _pa.string()), "dst": _pa.array([], _pa.string())})
+        )
+        schema = edges_ds.schema()
+    names = schema.names
     if "id_a" in names:  # candidate-pair schema -> generic edge schema
         edges_ds = edges_ds.select_columns(["id_a", "id_b"]).rename_columns(
             {"id_a": "src", "id_b": "dst"}
@@ -221,8 +231,11 @@ def cluster_from_edges(edges_ds, images_ds, cfg: Config = DEFAULT_CONFIG,
     )
     ids_ds = images_ds.select_columns(["image_id"])
     if use_driver:
-        et = edges_ds.to_pandas()
-        labels = components_unionfind(list(zip(et["src"], et["dst"])))
+        if n_edges == 0:
+            labels = {}
+        else:
+            et = edges_ds.to_pandas()
+            labels = components_unionfind(list(zip(et["src"], et["dst"])))
         ref = ray.put(labels)
 
         def assign(t: pa.Table) -> pa.Table:
