@@ -521,6 +521,71 @@ def ann_topk_lsh(sf_dir, k=10, n_planes=12):
     )
 
 
+def ann_topk_ivf(sf_dir, k=10, n_centroids=16, n_probe=4):
+    """IVF ANN (rows-only, scale path): coarse centroids from a seeded
+    sample (Lloyd iterations on the driver — the sample is tiny), every
+    vector assigned to its nearest centroid inside map_batches, queries
+    scan only the n_probe nearest inverted lists."""
+    import pyarrow.parquet as pq
+
+    qid, qn = _queries_matrix(sf_dir)
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    rng = np.random.default_rng(CFG.sample_seed)
+    all_v = np.asarray(t["embedding"].combine_chunks().to_pylist(), dtype=np.float64)
+    all_n = all_v / np.maximum(np.linalg.norm(all_v, axis=1, keepdims=True), 1e-30)
+    sample = all_n[rng.choice(len(all_n), min(512, len(all_n)), replace=False)]
+    cents = sample[rng.choice(len(sample), n_centroids, replace=False)].copy()
+    for _ in range(5):  # Lloyd iterations on the sample (spherical k-means)
+        assign = (sample @ cents.T).argmax(axis=1)
+        for c in range(n_centroids):
+            m = sample[assign == c]
+            if len(m):
+                v = m.mean(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-30)
+    probe_lists = np.argsort(-(qn @ cents.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    bref = ray.put((qid, qn, cents, probe_lists))
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qids, qmat, cs, probes = ray.get(bref)
+        v = np.asarray(batch["embedding"].combine_chunks().to_pylist(), dtype=np.float64)
+        vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
+        cell = (vn @ cs.T).argmax(axis=1)
+        vids = batch["vec_id"].to_numpy()
+        out_q, out_v, out_s = [], [], []
+        for j, qv in enumerate(qids):
+            mask = np.isin(cell, probes[j])
+            if not mask.any():
+                continue
+            sc = vn[mask] @ qmat[j]
+            out_q.extend([int(qv)] * int(mask.sum()))
+            out_v.extend(vids[mask].tolist())
+            out_s.extend(sc.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"],
+                "vec_id": g["vec_id"],
+                "score_r": np.round(g["score"], 4),
+            }
+        )
+
+    return (
+        emb.map_batches(score, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(topk, batch_format="pandas")
+    )
+
+
 def embedding_near_dups(sf_dir, threshold=0.98):
     """Embedding-cosine near-duplicate pairs (rows-only): LSH-bucketed
     star comparison, same harness as the text path."""
@@ -897,6 +962,7 @@ QUERIES = {
     "orders_by_segment": orders_by_segment,
     "ann_topk": ann_topk,
     "ann_topk_lsh": ann_topk_lsh,
+    "ann_topk_ivf": ann_topk_ivf,
     "embedding_near_dups": embedding_near_dups,
     "minhash_doc_pairs": minhash_doc_pairs,
     "doc_clusters": doc_clusters,

@@ -1,0 +1,76 @@
+"""Per-kernel microbenchmarks mirroring the reference's Benchmarks 1-5
+(README.md:2343-2700) — DEFLATE, FastCDC, SHA-256, MinHash, plus our
+SimHash/decode. Prints a table vs the reference per-layer budgets
+(README.md:288-291) and appends BENCH/MICRO.md. Pure single-core kernel
+numbers; no Ray session."""
+
+import hashlib
+import os
+import sys
+import time
+import zlib
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from hmse_ray.config import DEFAULT_CONFIG as cfg
+from hmse_ray.functions import fastcdc, imagecodec, minhash, simhash
+
+
+def timeit(fn, data_mb, reps=3):
+    fn()  # warm
+    best = min((lambda: (lambda t0: (fn(), time.time() - t0)[1])(time.time()))() for _ in range(reps))
+    return data_mb / best
+
+
+def main():
+    rng = np.random.default_rng(42)
+    text = rng.integers(0, 256, 8_000_000, dtype=np.uint8).tobytes()
+    mb = len(text) / 1e6
+    rows = []
+
+    # Benchmark 1: DEFLATE level 9 (reference budget ~1.5 MB/s on ESP32)
+    comp_text = (b"the quick brown fox jumps over the lazy dog " * 200000)[:8_000_000]
+    rows.append(("L1 DEFLATE-9 compress", timeit(lambda: zlib.compress(comp_text, 9), mb), 1.5))
+    # Benchmark 2: FastCDC chunking (~8 MB/s budget)
+    rows.append(("L2 FastCDC chunking", timeit(lambda: fastcdc.chunk_boundaries(text, cfg), mb), 8.0))
+    # Benchmark 3: SHA-256 (~15 MB/s budget)
+    rows.append(("L3 SHA-256", timeit(lambda: hashlib.sha256(text).digest(), mb), 15.0))
+    # Benchmark 4: MinHash n=128 (~1.2 MB/s budget; <=1.5 ms / 4KB chunk)
+    docs = [text[i * 4096 : (i + 1) * 4096] for i in range(256)]
+    mh_mb = 256 * 4096 / 1e6
+    rows.append(("L4 MinHash n=128", timeit(lambda: minhash.signatures(docs, cfg), mh_mb), 1.2))
+    # SimHash + decode (graft)
+    px = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    blob = imagecodec.encode(px, "png")
+    proj = simhash.projection_matrix(cfg)
+
+    def simjob():
+        for _ in range(200):
+            simhash.simhash64(imagecodec.decode(blob, 64, 48, "png"), proj, cfg)
+
+    sim_mb = 200 * len(blob) / 1e6
+    rows.append(("SimHash decode+sign", timeit(simjob, sim_mb), float("nan")))
+
+    lines = [
+        "| kernel | this repo (MB/s, 1 core) | reference budget (MB/s, ESP32-S3) |",
+        "|---|---|---|",
+    ]
+    for name, got, budget in rows:
+        b = "—" if budget != budget else f"{budget}"
+        lines.append(f"| {name} | {got:.1f} | {b} |")
+    table = "\n".join(lines)
+    print(table)
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/MICRO.md", "w") as f:
+        f.write(
+            "# Kernel microbenchmarks (reference Benchmarks 1-5 analog)\n\n"
+            "Reference budgets are ESP32-S3 @240 MHz projections "
+            "(README.md:288-291); ours are single-core numbers on this host "
+            "(multiply by usable cores for stage throughput).\n\n" + table + "\n"
+        )
+
+
+if __name__ == "__main__":
+    main()
