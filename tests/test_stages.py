@@ -110,6 +110,38 @@ class TestLSH:
             assert len({lbl[f"d{i}"] for i in range(20)}) == 1
 
 
+class TestHotBucketSkew:
+    def test_mega_bucket_salted_connectivity(self, ray_session):
+        # 2000 identical captions -> one mega-bucket per band; with
+        # salting the bucket splits into bounded sub-buckets and the
+        # rep-linking pass preserves full connectivity
+        import time
+
+        import ray.data as rd
+
+        from hmse_ray.stages import lsh, signatures
+        from hmse_ray.stages.clustering import components_unionfind
+
+        n = 2000
+        docs = rd.from_arrow(
+            pa.table(
+                {
+                    "image_id": [f"h{i:05d}" for i in range(n)],
+                    "caption": ["hot bucket caption " * 30] * n,
+                }
+            )
+        )
+        mh = signatures.minhash_stage(docs, CFG).materialize()
+        t0 = time.time()
+        pairs = lsh.candidate_pairs(mh, CFG, num_salts=8).to_pandas()
+        elapsed = time.time() - t0
+        lbl = components_unionfind(list(zip(pairs.id_a, pairs.id_b)))
+        assert len({lbl[f"h{i:05d}"] for i in range(n)}) == 1
+        # star edges are linear in bucket size: edge count stays O(n)
+        assert len(pairs) < 5 * n
+        assert elapsed < 120
+
+
 class TestMultimodal:
     def test_decode_resize_stage(self, ray_session):
         from hmse_ray.pipelines import dedup
