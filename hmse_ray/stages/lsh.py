@@ -215,77 +215,6 @@ def membership_rows(minhash_ds, simhash_ds, cfg: Config = DEFAULT_CONFIG):
     return m
 
 
-def _star_edges_group(group: pa.Table, cfg: Config) -> pa.Table:
-    """Verified star edges for one bucket group (vectorized).
-
-    Representative = lexicographic min image_id; edge (rep, x) kept when
-    the signature-agreement Jaccard estimate >= cfg.jaccard_threshold.
-    Linear in group size (J2 without the quadratic within-bucket join).
-    """
-    n = group.num_rows
-    empty = pa.table(
-        {
-            "id_a": pa.array([], pa.string()),
-            "id_b": pa.array([], pa.string()),
-            "jaccard_est": pa.array([], pa.float64()),
-        }
-    )
-    if n < 2:
-        return empty
-    ids = group["image_id"].to_pylist()
-    rep_i = int(np.argmin(np.asarray(ids, dtype=object)))
-    sigs = np.asarray(group["minhash"].combine_chunks().flatten()).reshape(n, -1)
-    est = (sigs == sigs[rep_i]).mean(axis=1)
-    keep = (est >= cfg.jaccard_threshold) & (np.arange(n) != rep_i)
-    if not keep.any():
-        return empty
-    rep = ids[rep_i]
-    others = [ids[i] for i in np.nonzero(keep)[0]]
-    return pa.table(
-        {
-            "id_a": pa.array([min(rep, o) for o in others], pa.string()),
-            "id_b": pa.array([max(rep, o) for o in others], pa.string()),
-            "jaccard_est": pa.array(est[keep], pa.float64()),
-        }
-    )
-
-
-def _simhash_star_group(group: pa.Table, cfg: Config) -> pa.Table:
-    """Verified star edges for one SimHash bucket: Hamming <= threshold.
-
-    A band collision alone is NOT evidence of near-duplication (a 16-bit
-    band agreeing happens readily between smooth images); the Hamming
-    check against the representative is the verification step, mirroring
-    the Jaccard verification on the MinHash path (README.md:1553-1576:
-    candidate -> verify -> link).
-    """
-    n = group.num_rows
-    empty = pa.table(
-        {
-            "id_a": pa.array([], pa.string()),
-            "id_b": pa.array([], pa.string()),
-            "jaccard_est": pa.array([], pa.float64()),
-        }
-    )
-    if n < 2:
-        return empty
-    ids = group["image_id"].to_pylist()
-    rep_i = int(np.argmin(np.asarray(ids, dtype=object)))
-    sims = group["simhash"].to_numpy()
-    ham = simhash.hamming64(sims, np.repeat(sims[rep_i], n))
-    keep = (ham <= cfg.simhash_hamming_threshold) & (np.arange(n) != rep_i)
-    if not keep.any():
-        return empty
-    rep = ids[rep_i]
-    others = [ids[i] for i in np.nonzero(keep)[0]]
-    sim_frac = 1.0 - ham[keep] / 64.0
-    return pa.table(
-        {
-            "id_a": pa.array([min(rep, o) for o in others], pa.string()),
-            "id_b": pa.array([max(rep, o) for o in others], pa.string()),
-            "jaccard_est": pa.array(sim_frac, pa.float64()),
-        }
-    )
 
 
 def simhash_candidate_pairs(simhash_ds, cfg: Config = DEFAULT_CONFIG, num_salts: int = 1):
@@ -309,25 +238,6 @@ def _simhash_bands_with_payload(sim_batch: pa.Table, cfg: Config, num_salts: int
     nb = t.num_rows // sim_batch.num_rows
     return t.append_column("simhash", pa.concat_arrays([sims] * nb))
 
-
-def _bucket_count_group(group: pa.Table, cfg: Config) -> pa.Table:
-    """Per-bucket candidate vs verified counts (A3 hit-rate input)."""
-    n = group.num_rows
-    if n < 2:
-        return pa.table(
-            {"n_candidates": pa.array([], pa.int64()), "n_matches": pa.array([], pa.int64())}
-        )
-    ids = group["image_id"].to_pylist()
-    rep_i = int(np.argmin(np.asarray(ids, dtype=object)))
-    sigs = np.asarray(group["minhash"].combine_chunks().flatten()).reshape(n, -1)
-    est = (sigs == sigs[rep_i]).mean(axis=1)
-    keep = (est >= cfg.jaccard_threshold) & (np.arange(n) != rep_i)
-    return pa.table(
-        {
-            "n_candidates": pa.array([n - 1], pa.int64()),
-            "n_matches": pa.array([int(keep.sum())], pa.int64()),
-        }
-    )
 
 
 def similarity_hit_rate(minhash_ds, cfg: Config = DEFAULT_CONFIG):
@@ -375,18 +285,31 @@ def similarity_hit_rate(minhash_ds, cfg: Config = DEFAULT_CONFIG):
     )
 
 
-def _rep_row_group(group: pa.Table, num_salts: int) -> pa.Table:
-    """Sub-bucket representative row, re-keyed to the parent bucket."""
-    ids = group["image_id"].to_pylist()
-    rep_i = int(np.argmin(np.asarray(ids, dtype=object)))
-    parent = (group["bucket"].to_numpy()[:1].view(np.uint64) // np.uint64(num_salts)).view(
-        np.int64
-    )
+def _rep_rows_partition(t: pa.Table, num_salts: int) -> pa.Table:
+    """All sub-bucket representative rows of one hash partition,
+    re-keyed to the parent bucket (vectorized: the first row of each
+    sorted sub-bucket is its representative)."""
+    if t.num_rows == 0:
+        return pa.table(
+            {
+                "image_id": pa.array([], pa.string()),
+                "bucket": pa.array([], pa.int64()),
+                "minhash": pa.array([], t.schema.field("minhash").type)
+                if "minhash" in t.schema.names
+                else pa.array([], pa.null()),
+            }
+        )
+    t, rep_idx = _bucket_partition_table(t)
+    firsts = np.unique(rep_idx)
+    sel = pa.array(firsts, pa.int64())
+    parents = (
+        t["bucket"].to_numpy()[firsts].view(np.uint64) // np.uint64(num_salts)
+    ).view(np.int64)
     return pa.table(
         {
-            "image_id": pa.array([ids[rep_i]], pa.string()),
-            "bucket": pa.array(parent, pa.int64()),
-            "minhash": group["minhash"].combine_chunks().slice(rep_i, 1),
+            "image_id": t["image_id"].take(sel),
+            "bucket": pa.array(parents, pa.int64()),
+            "minhash": t["minhash"].take(sel),
         }
     )
 
@@ -412,11 +335,11 @@ def candidate_pairs(minhash_ds, cfg: Config = DEFAULT_CONFIG, num_salts: int = 1
         bands, "bucket", lambda t: _star_edges_partition(t, cfg)
     )
     if num_salts > 1:
-        reps = bands.groupby("bucket").map_groups(
-            lambda g: _rep_row_group(g, num_salts), batch_format="pyarrow"
+        reps = hash_partitioned_groupby_arrow(
+            bands, "bucket", lambda t: _rep_rows_partition(t, num_salts)
         )
-        link_edges = reps.groupby("bucket").map_groups(
-            lambda g: _star_edges_group(g, cfg), batch_format="pyarrow"
+        link_edges = hash_partitioned_groupby_arrow(
+            reps, "bucket", lambda t: _star_edges_partition(t, cfg)
         )
         edges = edges.union(link_edges)
     return dedup_pair_edges(edges)
