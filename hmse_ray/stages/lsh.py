@@ -20,11 +20,12 @@ num_salts so hot-bucket sub-groups fit a task's heap.
 Two candidate-generation paths are provided:
 
 * ``candidate_pairs`` — star edges (bucket representative vs member)
-  with vectorized Jaccard verification inside map_groups; feeds the
-  delta-encoding join and the A3 hit-rate metric.
-* ``membership_rows`` — narrow (image_id, bucket) rows for the fully
-  vectorized bipartite min-label clustering in stages.clustering (no
-  map_groups, combiner-based aggregates only: the skew-proof path).
+  with vectorized Jaccard verification, computed as hash-partitioned
+  arrow-native per-partition kernels (stages/aggregates.py — zero
+  per-bucket Python); feeds the delta-encoding join and A3 hit rate.
+* ``membership_rows`` — narrow (image_id, bucket) rows for the
+  unverified star-edge clustering path in stages.clustering (cheapest
+  linking when band collision alone is trustworthy).
 """
 
 from __future__ import annotations
