@@ -80,8 +80,14 @@ def run_bench() -> dict:
     clusters = dedup.cluster_assignments(
         dedup.read_images(fdir + "/images"), cfg
     )
+    if "--stats" in sys.argv:
+        clusters = clusters.materialize()
     n_images = clusters.count()
     headline = time.time() - t0
+    if "--stats" in sys.argv:
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/STATS.txt", "w") as f:
+            f.write(clusters.stats())
 
     queries = {"flagship_dedup": round(headline, 3)}
     for name in BENCH_QUERIES:

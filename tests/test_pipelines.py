@@ -169,6 +169,25 @@ class TestResume:
         cb = cb.sort_values("image_id").reset_index(drop=True)
         assert ca.equals(cb)
 
+    def test_partition_count_invariance(self, ray_session, fixture_dir, tmp_path):
+        # final clusters must not depend on how the input was partitioned
+        from hmse_ray.sources import fixtures
+        from hmse_ray.state import checkpoint
+
+        images = pq.read_table(fixture_dir + "/images")
+        files = fixtures.write_sharded(images, str(tmp_path / "sp"), shards=6)
+        outs = []
+        for p in (2, 5):
+            out = str(tmp_path / f"run_p{p}")
+            checkpoint.run_resumable(files, out, CFG, num_partitions=p)
+            outs.append(
+                pq.read_table(os.path.join(out, "final", "clusters"))
+                .to_pandas()
+                .sort_values("image_id")
+                .reset_index(drop=True)
+            )
+        assert outs[0].equals(outs[1])
+
     def test_partition_metrics_written(self, ray_session, fixture_dir, tmp_path):
         from hmse_ray.sources import fixtures
         from hmse_ray.state import checkpoint
