@@ -132,9 +132,13 @@ def _dedup_captions_first(mh_src, cfg: Config):
 
 def candidate_pair_edges(images, cfg: Config = DEFAULT_CONFIG, *,
                          use_simhash: bool = True, concurrency=None,
-                         num_salts: int = 1, dedup_first: bool = False):
+                         num_salts: int | None = None, dedup_first: bool = False):
     """images (path | Table | Dataset) -> verified candidate pairs
     (id_a, id_b, jaccard_est): caption MinHash path + image SimHash path.
+
+    num_salts=None (default) auto-salts detected hot buckets via
+    cfg.max_bucket_size (stages/lsh.py detect_hot_buckets); an explicit
+    value forces uniform salting.
 
     dedup_first: exact-dedup captions before the MinHash actor pool
     (sign each distinct caption once). Off by default: measured a net
@@ -168,7 +172,7 @@ def candidate_pair_edges(images, cfg: Config = DEFAULT_CONFIG, *,
 
 def cluster_assignments(images, cfg: Config = DEFAULT_CONFIG, *,
                         use_simhash: bool = True, concurrency=None,
-                        num_salts: int = 1, dedup_first: bool = False,
+                        num_salts: int | None = None, dedup_first: bool = False,
                         force_distributed: bool | None = None):
     """images -> (image_id, cluster_id) Dataset (all images).
 

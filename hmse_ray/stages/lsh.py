@@ -8,61 +8,65 @@ The reference holds band tables as a shared in-memory index; Ray-Data-
 first the bucket IS the shuffle group: ``groupby(band_id, band_hash)``
 (SURVEY.md T5 — no materialized band tables anywhere).
 
+Round-2 architecture (VERDICT r01 findings 1+4): the candidate shuffle
+is NARROW — only (image_id, bucket) rows move through the bucket
+groupby (~30 B/row instead of ~550 B/row with the 128xu32 signature
+replicated onto every band row, a 4x payload cut on the flagship's
+dominant shuffle). Verification runs as a SECOND keyed pass over the
+(tiny) unverified pair set: candidate signatures are fetched from the
+materialized signature table — filtered to candidate ids via a
+broadcast id set when the pair table is small enough to collect — and
+joined to pairs by hash-partitioning on id then on pair key, all
+vectorized arrow kernels.
+
 Skew (README.md:1929-1932 acknowledges ~165 chunks/bucket average and
-unhandled hot buckets): rows are SALTED before the shuffle —
-``salt = murmur3(image_id) % num_salts`` — splitting every bucket into
-bounded sub-buckets. Star edges are emitted per sub-bucket (linear, not
-quadratic, in bucket size), and a second, much smaller pass connects the
-sub-bucket representatives of each original bucket. With num_salts=1
-(test scale) the second pass is skipped. At 10^12-row scale, size
-num_salts so hot-bucket sub-groups fit a task's heap.
-
-Two candidate-generation paths are provided:
-
-* ``candidate_pairs`` — star edges (bucket representative vs member)
-  with vectorized Jaccard verification, computed as hash-partitioned
-  arrow-native per-partition kernels (stages/aggregates.py — zero
-  per-bucket Python); feeds the delta-encoding join and A3 hit rate.
-* ``membership_rows`` — narrow (image_id, bucket) rows for the
-  unverified star-edge clustering path in stages.clustering (cheapest
-  linking when band collision alone is trustworthy).
+unhandled hot buckets): hot buckets are detected from a deterministic
+id-hash sample of the band table (driver-side value_counts of the
+sample — bytes moved ~ sample_rate x input) and split into
+ceil(est_size / cfg.max_bucket_size) salted sub-buckets, each emitting
+star edges linearly; a second, much smaller pass links the sub-bucket
+representatives of each parent bucket. The parent bucket is carried as
+its own column (no modular recovery — the round-1 bucket//num_salts
+trick silently split parents when num_salts wasn't a power of two).
+``num_salts`` forces uniform salting for tests; the default (None)
+auto-salts only detected hot buckets, driven by ``cfg.max_bucket_size``.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
+
 from hmse_ray.config import Config, DEFAULT_CONFIG
-from hmse_ray.functions import murmur3, simhash
+from hmse_ray.functions import simhash
+from hmse_ray.stages.aggregates import distinct_pairs, hash_partitioned_groupby_arrow
 
 # distinct multipliers mix band_id into the 64-bit bucket key space;
 # collisions across bands are ~2^-64 and only cost a false candidate
 _BAND_MIX = np.uint64(0xA24BAED4963EE407)
 _SIMHASH_MIX = np.uint64(0x9FB21C651E98DF25)
+_SALT_MIX = np.uint64(0xC2B2AE3D27D4EB4F)  # odd: salt*mix never collides salts mod 2^64
+
+# Below this many unverified pairs, candidate ids are collected on the
+# driver and broadcast so the verify pass ships ONLY candidate
+# signatures (ids ~50 B each -> ~200 MB driver heap at the limit).
+# Above it, the full signature table moves once through the attach
+# shuffle — still 4x less than the round-1 every-band replication.
+_PAIR_BROADCAST_LIMIT = 2_000_000
+
+# Bytes per exploded band row (id + bucket + overhead), used to size
+# shuffle partitions by data volume.
+_BAND_ROW_BYTES = 48
 
 
 def dedup_pair_edges(edges_ds, val_col: str | None = "jaccard_est"):
-    """Deduplicate (id_a, id_b[, val]) edges emitted by several bands.
-
-    Groups on ONE packed string key instead of the two-column key —
-    Ray's sort-based aggregate materializes Python tuples for
-    multi-column keys (measured ~70x slower than single-key grouping).
-    """
-    import pyarrow.compute as pc
-    from ray.data.aggregate import Max, Min
-
-    def pack(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "pairkey", pc.binary_join_element_wise(t["id_a"], t["id_b"], "|")
-        )
-
-    aggs = [Min("id_a", alias_name="id_a"), Min("id_b", alias_name="id_b")]
-    if val_col is not None:
-        aggs.append(Max(val_col, alias_name=val_col))
-    out = edges_ds.map_batches(pack, batch_format="pyarrow").groupby("pairkey").aggregate(*aggs)
-    return out.drop_columns(["pairkey"])
+    """Deduplicate (id_a, id_b[, val]) edges emitted by several bands
+    (arrow-native hash-partitioned distinct; see aggregates.distinct_pairs)."""
+    return distinct_pairs(edges_ds, val_col=val_col)
 
 
 _EMPTY_EDGES = pa.table(
@@ -74,9 +78,157 @@ _EMPTY_EDGES = pa.table(
 )
 
 
-def _bucket_partition_table(t: pa.Table):
-    """Sort one hash partition by (bucket, image_id); return per-row
-    index of each row's bucket representative (the bucket minimum)."""
+def _combine(col):
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def _id_hash(ids: pa.Array) -> np.ndarray:
+    """Deterministic uint64 hash per string id (C-level siphash)."""
+    return pd.util.hash_array(ids.to_numpy(zero_copy_only=False)).astype(np.uint64)
+
+
+# --------------------------------------------------------------- band explode
+
+
+def band_explode(sig_batch: pa.Table, cfg: Config,
+                 hot: tuple[np.ndarray, np.ndarray] | None = None,
+                 num_salts: int = 1) -> pa.Table:
+    """One signed row -> b NARROW rows (image_id, bucket[, parent]).
+
+    bucket = band_hash * MIX + band_id — a single int64 key so
+    downstream shuffles never group on composite string keys. With
+    salting (uniform ``num_salts`` > 1, or per-bucket via the ``hot``
+    (sorted_buckets, salt_counts) pair), salted rows get
+    bucket += salt * SALT_MIX and carry the unsalted parent bucket in a
+    nullable ``parent`` column (null = unsalted row).
+    """
+    n = sig_batch.num_rows
+    b = cfg.num_bands
+    ids = _combine(sig_batch["image_id"])
+    raw = np.empty((b, n), dtype=np.uint64)
+    for band in range(b):
+        bh = sig_batch[f"band_h{band}"].to_numpy().view(np.uint64)
+        raw[band] = bh * _BAND_MIX + np.uint64(band)
+    salted = num_salts > 1 or (hot is not None and len(hot[0]) > 0)
+    cols: dict = {"image_id": pa.concat_arrays([ids] * b)}
+    if not salted:
+        cols["bucket"] = pa.array(raw.ravel().view(np.int64), pa.int64())
+        return pa.table(cols)
+    if num_salts > 1:
+        S = np.full((b, n), num_salts, dtype=np.uint64)
+    else:
+        hot_keys, hot_salts = hot
+        S = np.ones((b, n), dtype=np.uint64)
+        for band in range(b):
+            pos = np.searchsorted(hot_keys, raw[band])
+            pos_c = np.minimum(pos, len(hot_keys) - 1)
+            m = hot_keys[pos_c] == raw[band]
+            S[band][m] = hot_salts[pos_c[m]]
+    idh = _id_hash(ids)
+    salt = idh[None, :] % S
+    child = raw + salt * _SALT_MIX
+    unsalted = (S == 1).ravel()
+    cols["bucket"] = pa.array(child.ravel().view(np.int64), pa.int64())
+    cols["parent"] = pa.array(raw.ravel().view(np.int64), pa.int64(), mask=unsalted)
+    return pa.table(cols)
+
+
+def simhash_band_explode(sim_batch: pa.Table, cfg: Config,
+                         hot: tuple[np.ndarray, np.ndarray] | None = None,
+                         num_salts: int = 1) -> pa.Table:
+    """SimHash rows -> narrow (image_id, bucket[, parent]) rows: 4 x
+    16-bit bands.
+
+    By pigeonhole, images with Hamming distance <= num_bands-1 always
+    share an intact band; planted near-dups (ham <= 3) are guaranteed
+    candidates.
+    """
+    n = sim_batch.num_rows
+    ids = _combine(sim_batch["image_id"])
+    bands = simhash.simhash_band_cols(
+        sim_batch["simhash"].to_numpy(), cfg
+    )  # (n, bands) uint64
+    nb = bands.shape[1]
+    raw = np.empty((nb, n), dtype=np.uint64)
+    for band in range(nb):
+        raw[band] = bands[:, band] * _SIMHASH_MIX + np.uint64(band + 1000)
+    salted = num_salts > 1 or (hot is not None and len(hot[0]) > 0)
+    cols: dict = {"image_id": pa.concat_arrays([ids] * nb)}
+    if not salted:
+        cols["bucket"] = pa.array(raw.ravel().view(np.int64), pa.int64())
+        return pa.table(cols)
+    if num_salts > 1:
+        S = np.full((nb, n), num_salts, dtype=np.uint64)
+    else:
+        hot_keys, hot_salts = hot
+        S = np.ones((nb, n), dtype=np.uint64)
+        for band in range(nb):
+            pos = np.searchsorted(hot_keys, raw[band])
+            pos_c = np.minimum(pos, len(hot_keys) - 1)
+            m = hot_keys[pos_c] == raw[band]
+            S[band][m] = hot_salts[pos_c[m]]
+    idh = _id_hash(ids)
+    salt = idh[None, :] % S
+    child = raw + salt * _SALT_MIX
+    unsalted = (S == 1).ravel()
+    cols["bucket"] = pa.array(child.ravel().view(np.int64), pa.int64())
+    cols["parent"] = pa.array(raw.ravel().view(np.int64), pa.int64(), mask=unsalted)
+    return pa.table(cols)
+
+
+# ------------------------------------------------------- hot-bucket detection
+
+
+def detect_hot_buckets(ds, cfg: Config, explode_fn, n_rows: int | None = None,
+                       target_sample: int = 200_000):
+    """Deterministic sample -> (sorted_buckets, salt_counts) for buckets
+    whose estimated size exceeds cfg.max_bucket_size, or None.
+
+    Sampling keeps ids whose hash falls in 1/k of the space (k sized so
+    ~target_sample rows survive); bucket occupancy in the sample scales
+    by the rate. At bench scale the "sample" is the full table (k=1,
+    exact counts); at 10^12 rows only ~target_sample rows ever reach the
+    driver. Buckets a little over threshold that the sample misses are
+    harmless (one task handles them); mega-buckets are caught with
+    near-certainty.
+    """
+    if n_rows is None:
+        n_rows = ds.count()
+    k = max(1, n_rows // target_sample)
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids = _combine(t["image_id"])
+        keep = (_id_hash(ids) % np.uint64(k)) == 0
+        return explode_fn(t.filter(pa.array(keep))).select(["bucket"])
+
+    counts = (
+        ds.map_batches(sample, batch_format="pyarrow")
+        .to_pandas()["bucket"]
+        .value_counts()
+    )
+    rate = 1.0 / k
+    min_count = max(2, int(cfg.max_bucket_size * rate))
+    hot = counts[counts > min_count]
+    if hot.empty:
+        return None
+    est = (hot / rate).astype(np.int64)
+    est = est[est > cfg.max_bucket_size]
+    if est.empty:
+        return None
+    buckets = est.index.to_numpy().astype(np.int64).view(np.uint64)
+    salts = np.clip(-(-est.to_numpy() // cfg.max_bucket_size), 2, 65536).astype(
+        np.uint64
+    )
+    order = np.argsort(buckets)
+    return buckets[order], salts[order]
+
+
+# ------------------------------------------------- pass 1: narrow star edges
+
+
+def _sorted_with_reps(t: pa.Table):
+    """Sort one hash partition by (bucket, image_id); return (table,
+    rep_idx per row, group-start indices)."""
     t = t.sort_by([("bucket", "ascending"), ("image_id", "ascending")])
     buckets = t["bucket"].to_numpy()
     n = len(buckets)
@@ -85,112 +237,406 @@ def _bucket_partition_table(t: pa.Table):
     new[1:] = buckets[1:] != buckets[:-1]
     starts = np.nonzero(new)[0]
     rep_idx = starts[np.cumsum(new) - 1]
-    return t, rep_idx
+    return t, rep_idx, starts
 
 
-def _star_edges_partition(t: pa.Table, cfg: Config) -> pa.Table:
-    """All verified MinHash star edges of one hash partition —
-    arrow-native (the signature matrix is a zero-copy reshape of the
-    fixed-size-list buffer; no per-bucket Python, no object boxing)."""
+_EMPTY_MIXED = pa.table(
+    {
+        "id_a": pa.array([], pa.string()),
+        "id_b": pa.array([], pa.string()),
+        "parent": pa.array([], pa.int64()),
+    }
+)
+
+
+def _star_ids_partition(t: pa.Table) -> pa.Table:
+    """One hash partition of (image_id, bucket[, parent]) rows ->
+    UNVERIFIED star edges (id_a=rep, id_b=member) — ids only — plus,
+    for salted groups, one rep row per sub-bucket (id_a=rep, id_b="",
+    parent=parent bucket) feeding the rep-link pass. Fully vectorized."""
+    has_parent = "parent" in t.schema.names
     if t.num_rows == 0:
-        return _EMPTY_EDGES
-    t, rep_idx = _bucket_partition_table(t)
+        return _EMPTY_MIXED if has_parent else _EMPTY_MIXED.drop_columns(["parent"])
+    t, rep_idx, starts = _sorted_with_reps(t)
     n = t.num_rows
-    M = np.asarray(t["minhash"].combine_chunks().flatten()).reshape(n, -1)
-    est = (M == M[rep_idx]).mean(axis=1)
-    keep = (np.arange(n) != rep_idx) & (est >= cfg.jaccard_threshold)
-    ids = t["image_id"].combine_chunks()
-    keep_i = np.nonzero(keep)[0]
+    ids = _combine(t["image_id"])
+    nonrep = np.nonzero(np.arange(n) != rep_idx)[0]
+    id_a = ids.take(pa.array(rep_idx[nonrep], pa.int64()))
+    id_b = ids.take(pa.array(nonrep, pa.int64()))
+    if not has_parent:
+        return pa.table({"id_a": id_a, "id_b": id_b})
+    par = _combine(t["parent"])
+    valid = np.asarray(par.is_valid())
+    sel = starts[valid[starts]]
+    m = len(sel)
     return pa.table(
         {
-            "id_a": ids.take(pa.array(rep_idx[keep_i], pa.int64())),
-            "id_b": ids.take(pa.array(keep_i, pa.int64())),
-            "jaccard_est": pa.array(est[keep_i], pa.float64()),
+            "id_a": pa.concat_arrays([id_a, ids.take(pa.array(sel, pa.int64()))]),
+            "id_b": pa.concat_arrays(
+                [id_b, pa.array([""] * m, pa.string())]
+            ),
+            "parent": pa.concat_arrays(
+                [pa.nulls(len(id_a), pa.int64()), par.take(pa.array(sel, pa.int64()))]
+            ),
         }
     )
 
 
-def _simhash_star_partition(t: pa.Table, cfg: Config) -> pa.Table:
-    """All Hamming-verified SimHash star edges of one hash partition."""
+def _rep_star_partition(t: pa.Table) -> pa.Table:
+    """Rep-link pass: (image_id, bucket=parent) rows -> unverified star
+    edges among the sub-bucket representatives of each parent."""
     if t.num_rows == 0:
-        return _EMPTY_EDGES
-    t, rep_idx = _bucket_partition_table(t)
+        return _EMPTY_MIXED.drop_columns(["parent"])
+    t, rep_idx, _ = _sorted_with_reps(t)
+    n = t.num_rows
+    ids = _combine(t["image_id"])
+    nonrep = np.nonzero(np.arange(n) != rep_idx)[0]
+    return pa.table(
+        {
+            "id_a": ids.take(pa.array(rep_idx[nonrep], pa.int64())),
+            "id_b": ids.take(pa.array(nonrep, pa.int64())),
+        }
+    )
+
+
+# -------------------------------------------- pass 2: signature verification
+
+
+def _sig_list_array(M: np.ndarray, n_hashes: int) -> pa.ListArray:
+    offsets = pa.array((np.arange(len(M) + 1) * n_hashes).astype(np.int32))
+    return pa.ListArray.from_arrays(offsets, pa.array(M.ravel(), pa.uint32()))
+
+
+def _empty_sig_list(n: int) -> pa.ListArray:
+    return pa.ListArray.from_arrays(
+        pa.array(np.zeros(n + 1, dtype=np.int32)), pa.array([], pa.uint32())
+    )
+
+
+def verify_pairs(pairs_ds, signed_ds, cfg: Config = DEFAULT_CONFIG):
+    """Unverified (id_a, id_b) pairs -> (id_a, id_b, jaccard_est) with
+    est >= cfg.jaccard_threshold.
+
+    Signatures move at most ONCE: pairs fan out into per-id half-edge
+    rows; signature rows (filtered to candidate ids via a broadcast set
+    when the pair table is small) co-partition with them on hash(id),
+    attach vectorized (pc.index_in), then half-edges regroup on the pair
+    key where the agreement fraction is computed on a gathered
+    (2k, 128) uint32 matrix. No per-row Python anywhere.
+    """
+    import ray.data as rd
+
+    pairs_ds = pairs_ds.materialize()
+    n_pairs = pairs_ds.count()
+    if n_pairs == 0:
+        return rd.from_arrow(_EMPTY_EDGES)
+    id_filter_ref = None
+    if n_pairs <= _PAIR_BROADCAST_LIMIT:
+        pt = pairs_ds.to_pandas()
+        cand = np.unique(np.concatenate([pt["id_a"].to_numpy(), pt["id_b"].to_numpy()]))
+        id_filter_ref = ray.put(pa.array(cand, pa.string()))
+    nh = cfg.num_hashes
+
+    def sig_rows(t: pa.Table) -> pa.Table:
+        if id_filter_ref is not None:
+            t = t.filter(pc.is_in(t["image_id"], value_set=ray.get(id_filter_ref)))
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "jid": pa.array([], pa.string()),
+                    "pairkey": pa.array([], pa.string()),
+                    "sig": _empty_sig_list(0),
+                }
+            )
+        M = np.asarray(_combine(t["minhash"]).flatten()).reshape(n, nh)
+        return pa.table(
+            {
+                "jid": t["image_id"],
+                "pairkey": pa.array([""] * n, pa.string()),
+                "sig": _sig_list_array(M, nh),
+            }
+        )
+
+    def half_edges(t: pa.Table) -> pa.Table:
+        key = _combine(pc.binary_join_element_wise(t["id_a"], t["id_b"], "|"))
+        n = t.num_rows
+        return pa.table(
+            {
+                "jid": pa.concat_arrays([_combine(t["id_a"]), _combine(t["id_b"])]),
+                "pairkey": pa.concat_arrays([key, key]),
+                "sig": _empty_sig_list(2 * n),
+            }
+        )
+
+    both = signed_ds.map_batches(sig_rows, batch_format="pyarrow").union(
+        pairs_ds.map_batches(half_edges, batch_format="pyarrow")
+    )
+
+    def attach(t: pa.Table) -> pa.Table:
+        is_sig = pc.equal(t["pairkey"], "")
+        sigs = t.filter(is_sig)
+        he = t.filter(pc.invert(is_sig))
+        if he.num_rows == 0 or sigs.num_rows == 0:
+            return pa.table(
+                {
+                    "pairkey": pa.array([], pa.string()),
+                    "jid": pa.array([], pa.string()),
+                    "sig": _empty_sig_list(0),
+                }
+            )
+        idx = pc.index_in(he["jid"], value_set=_combine(sigs["jid"]))
+        taken = _combine(sigs["sig"]).take(idx)
+        out = pa.table({"pairkey": he["pairkey"], "jid": he["jid"], "sig": taken})
+        return out.filter(pc.is_valid(out["sig"]))
+
+    attached = hash_partitioned_groupby_arrow(both, "jid", attach)
+
+    def combine_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EMPTY_EDGES
+        t = t.sort_by([("pairkey", "ascending"), ("jid", "ascending")])
+        n = t.num_rows
+        keys = _combine(t["pairkey"])
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        if n > 1:
+            new[1:] = np.invert(
+                np.asarray(pc.equal(keys.slice(1), keys.slice(0, n - 1)))
+            )
+        starts = np.nonzero(new)[0]
+        sizes = np.diff(np.append(starts, n))
+        good = starts[sizes == 2]  # both sigs resolved
+        if len(good) == 0:
+            return _EMPTY_EDGES
+        arr = _combine(t["sig"])
+        offs = arr.offsets.to_numpy()
+        vals = np.asarray(arr.values)
+        ga = vals[offs[good][:, None] + np.arange(nh)]
+        gb = vals[offs[good + 1][:, None] + np.arange(nh)]
+        est = (ga == gb).mean(axis=1)
+        keep = np.nonzero(est >= cfg.jaccard_threshold)[0]
+        ids = _combine(t["jid"])
+        return pa.table(
+            {
+                "id_a": ids.take(pa.array(good[keep], pa.int64())),
+                "id_b": ids.take(pa.array(good[keep] + 1, pa.int64())),
+                "jaccard_est": pa.array(est[keep], pa.float64()),
+            }
+        )
+
+    return hash_partitioned_groupby_arrow(attached, "pairkey", combine_pairs)
+
+
+# ------------------------------------------------------------ candidate pairs
+
+
+def _band_columns(cfg: Config) -> list[str]:
+    return [f"band_h{b}" for b in range(cfg.num_bands)]
+
+
+def candidate_pairs(minhash_ds, cfg: Config = DEFAULT_CONFIG,
+                    num_salts: int | None = None):
+    """Verified candidate pair Dataset: (id_a, id_b, jaccard_est), deduped.
+
+    SHUFFLE 2 of SURVEY.md section 4.2, round-2 shape: materialize the
+    signed table once (it is the signature index — also the natural
+    checkpoint), explode NARROW (image_id, bucket) band rows, groupby
+    bucket for unverified star edges, link salted sub-buckets via their
+    reps, dedup, then verify against fetched signatures (see
+    verify_pairs). num_salts=None (default) auto-salts detected hot
+    buckets per cfg.max_bucket_size; an explicit value forces uniform
+    salting (tests / known-skew corpora).
+    """
+    signed = minhash_ds.materialize()
+    n_rows = signed.count()
+    narrow = signed.select_columns(["image_id"] + _band_columns(cfg))
+    hot = None
+    ns = 1
+    if num_salts is None:
+        hot = detect_hot_buckets(
+            narrow, cfg, lambda t: band_explode(t, cfg), n_rows=n_rows
+        )
+    else:
+        ns = num_salts
+    hot_ref = ray.put(hot)
+
+    def explode(t: pa.Table) -> pa.Table:
+        return band_explode(t, cfg, hot=ray.get(hot_ref), num_salts=ns)
+
+    bands = narrow.map_batches(explode, batch_format="pyarrow")
+    est_bytes = n_rows * cfg.num_bands * _BAND_ROW_BYTES
+    mixed = hash_partitioned_groupby_arrow(
+        bands, "bucket", _star_ids_partition, est_bytes=est_bytes
+    )
+    if hot is not None or ns > 1:
+        edges = mixed.map_batches(
+            lambda t: t.filter(pc.not_equal(t["id_b"], "")).select(["id_a", "id_b"]),
+            batch_format="pyarrow",
+        )
+        reps = mixed.map_batches(
+            lambda t: (
+                lambda f: pa.table({"image_id": f["id_a"], "bucket": f["parent"]})
+            )(t.filter(pc.equal(t["id_b"], ""))),
+            batch_format="pyarrow",
+        )
+        link = hash_partitioned_groupby_arrow(reps, "bucket", _rep_star_partition)
+        edges = edges.union(link)
+    else:
+        edges = mixed
+    uniq = distinct_pairs(edges, val_col=None)
+    return verify_pairs(uniq, signed, cfg)
+
+
+# ----------------------------------------------------------- simhash variant
+
+
+def _simhash_star_partition(t: pa.Table, cfg: Config) -> pa.Table:
+    """All Hamming-verified SimHash star edges of one hash partition;
+    with salting also emits rep rows (id_b="", parent) per sub-bucket.
+    The 8-byte simhash payload rides the narrow shuffle (unlike the
+    512-byte minhash, it is cheaper to carry than to re-fetch)."""
+    has_parent = "parent" in t.schema.names
+    if t.num_rows == 0:
+        base = pa.table(
+            {
+                "id_a": pa.array([], pa.string()),
+                "id_b": pa.array([], pa.string()),
+                "jaccard_est": pa.array([], pa.float64()),
+            }
+        )
+        if has_parent:
+            base = base.append_column("parent", pa.array([], pa.int64())).append_column(
+                "simhash", pa.array([], pa.int64())
+            )
+        return base
+    t, rep_idx, starts = _sorted_with_reps(t)
     n = t.num_rows
     sims = t["simhash"].to_numpy()
     ham = simhash.hamming64(sims, sims[rep_idx])
     keep = (np.arange(n) != rep_idx) & (ham <= cfg.simhash_hamming_threshold)
-    ids = t["image_id"].combine_chunks()
+    ids = _combine(t["image_id"])
     keep_i = np.nonzero(keep)[0]
-    return pa.table(
-        {
-            "id_a": ids.take(pa.array(rep_idx[keep_i], pa.int64())),
-            "id_b": ids.take(pa.array(keep_i, pa.int64())),
-            "jaccard_est": pa.array(1.0 - ham[keep_i] / 64.0, pa.float64()),
-        }
-    )
-
-
-def _salt_of(ids: pa.Array, num_salts: int) -> np.ndarray:
-    if num_salts <= 1:
-        return np.zeros(len(ids), dtype=np.uint64)
-    return np.array(
-        [murmur3.murmur3_bytes(s.encode(), 0xBEEF) % num_salts for s in ids.to_pylist()],
-        dtype=np.uint64,
-    )
-
-
-def band_explode(sig_batch: pa.Table, cfg: Config, num_salts: int = 1,
-                 carry_sig: bool = True) -> pa.Table:
-    """One signed row -> b rows (image_id, bucket, [minhash]).
-
-    bucket = band_hash * MIX + band_id + salt-mixed — a single int64 key
-    so downstream shuffles never group on composite string keys.
-    """
-    n = sig_batch.num_rows
-    b = cfg.num_bands
-    ids = sig_batch["image_id"]
-    salts = _salt_of(ids, num_salts)
-    buckets = np.empty((b, n), dtype=np.uint64)
-    for band in range(b):
-        bh = sig_batch[f"band_h{band}"].to_numpy().view(np.uint64)
-        buckets[band] = (bh * _BAND_MIX + np.uint64(band)) * np.uint64(num_salts) + salts
-    cols = {
-        "image_id": pa.concat_arrays([ids.combine_chunks()] * b)
-        if isinstance(ids, pa.ChunkedArray)
-        else pa.concat_arrays([ids] * b),
-        "bucket": pa.array(buckets.ravel().view(np.int64), pa.int64()),
+    out = {
+        "id_a": ids.take(pa.array(rep_idx[keep_i], pa.int64())),
+        "id_b": ids.take(pa.array(keep_i, pa.int64())),
+        "jaccard_est": pa.array(1.0 - ham[keep_i] / 64.0, pa.float64()),
     }
-    if carry_sig and "minhash" in sig_batch.column_names:
-        mh = sig_batch["minhash"].combine_chunks()
-        cols["minhash"] = pa.concat_arrays([mh] * b)
-    return pa.table(cols)
-
-
-def simhash_band_explode(sim_batch: pa.Table, cfg: Config, num_salts: int = 1) -> pa.Table:
-    """SimHash rows -> (image_id, bucket) rows: 4 x 16-bit bands.
-
-    By pigeonhole, images with Hamming distance <= num_bands-1 always
-    share an intact band; planted near-dups (ham <= 3) are guaranteed
-    candidates.
-    """
-    ids = sim_batch["image_id"]
-    salts = _salt_of(ids, num_salts)
-    bands = simhash.simhash_band_cols(
-        sim_batch["simhash"].to_numpy(), cfg
-    )  # (n, bands) uint64
-    nb = bands.shape[1]
-    buckets = np.empty((nb, len(salts)), dtype=np.uint64)
-    for band in range(nb):
-        buckets[band] = (
-            (bands[:, band] * _SIMHASH_MIX + np.uint64(band + 1000)) * np.uint64(num_salts)
-            + salts
-        )
-    ids_cc = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+    if not has_parent:
+        return pa.table(out)
+    par = _combine(t["parent"])
+    valid = np.asarray(par.is_valid())
+    sel = starts[valid[starts]]
+    m = len(sel)
+    sel_a = pa.array(sel, pa.int64())
     return pa.table(
         {
-            "image_id": pa.concat_arrays([ids_cc] * nb),
-            "bucket": pa.array(buckets.ravel().view(np.int64), pa.int64()),
+            "id_a": pa.concat_arrays([out["id_a"], ids.take(sel_a)]),
+            "id_b": pa.concat_arrays([out["id_b"], pa.array([""] * m, pa.string())]),
+            "jaccard_est": pa.concat_arrays(
+                [out["jaccard_est"], pa.nulls(m, pa.float64())]
+            ),
+            "parent": pa.concat_arrays([pa.nulls(len(keep_i), pa.int64()), par.take(sel_a)]),
+            "simhash": pa.concat_arrays(
+                [pa.nulls(len(keep_i), pa.int64()), _combine(t["simhash"]).take(sel_a)]
+            ),
         }
+    )
+
+
+def simhash_candidate_pairs(simhash_ds, cfg: Config = DEFAULT_CONFIG,
+                            num_salts: int | None = None):
+    """Verified image near-dup pairs: (id_a, id_b, jaccard_est=1-ham/64).
+
+    Same narrow-shuffle + auto-salting harness as the MinHash path; the
+    simhash itself (8 bytes) rides the band rows, so verification is
+    in-bucket (no second fetch pass needed)."""
+    sims = simhash_ds.materialize()
+    n_rows = sims.count()
+    hot = None
+    ns = 1
+    if num_salts is None:
+        hot = detect_hot_buckets(
+            sims, cfg, lambda t: simhash_band_explode(t, cfg), n_rows=n_rows
+        )
+    else:
+        ns = num_salts
+    hot_ref = ray.put(hot)
+
+    def explode(t: pa.Table) -> pa.Table:
+        out = simhash_band_explode(t, cfg, hot=ray.get(hot_ref), num_salts=ns)
+        nb = out.num_rows // max(1, t.num_rows)
+        if t.num_rows == 0:
+            return out.append_column("simhash", pa.array([], pa.int64()))
+        return out.append_column(
+            "simhash", pa.concat_arrays([_combine(t["simhash"])] * nb)
+        )
+
+    bands = sims.select_columns(["image_id", "simhash"]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+    est_bytes = n_rows * cfg.simhash_bands * (_BAND_ROW_BYTES + 8)
+    mixed = hash_partitioned_groupby_arrow(
+        bands, "bucket", lambda t: _simhash_star_partition(t, cfg), est_bytes=est_bytes
+    )
+    if hot is not None or ns > 1:
+        edges = mixed.map_batches(
+            lambda t: t.filter(pc.not_equal(t["id_b"], "")).select(
+                ["id_a", "id_b", "jaccard_est"]
+            ),
+            batch_format="pyarrow",
+        )
+        reps = mixed.map_batches(
+            lambda t: (
+                lambda f: pa.table(
+                    {
+                        "image_id": f["id_a"],
+                        "bucket": f["parent"],
+                        "simhash": f["simhash"],
+                    }
+                )
+            )(t.filter(pc.equal(t["id_b"], ""))),
+            batch_format="pyarrow",
+        )
+        link = hash_partitioned_groupby_arrow(
+            reps, "bucket", lambda t: _simhash_star_partition(t, cfg)
+        )
+        edges = edges.union(link)
+    else:
+        edges = mixed
+    return dedup_pair_edges(edges)
+
+
+# ------------------------------------------------------------------ hit rate
+
+
+def similarity_hit_rate(minhash_ds, cfg: Config = DEFAULT_CONFIG):
+    """A3 (VALIDATION_METHODS.md:264): N_LSH_matches / N_candidate_pairs.
+
+    One row: n_candidates (distinct unverified band-collision pairs),
+    n_matches (pairs passing Jaccard verification), hit_rate.
+    """
+    signed = minhash_ds.materialize()
+    n_rows = signed.count()
+    narrow = signed.select_columns(["image_id"] + _band_columns(cfg))
+    bands = narrow.map_batches(
+        lambda t: band_explode(t, cfg), batch_format="pyarrow"
+    )
+    mixed = hash_partitioned_groupby_arrow(
+        bands, "bucket", _star_ids_partition,
+        est_bytes=n_rows * cfg.num_bands * _BAND_ROW_BYTES,
+    )
+    uniq = distinct_pairs(mixed, val_col=None).materialize()
+    n_candidates = uniq.count()
+    n_matches = verify_pairs(uniq, signed, cfg).count()
+    return pd.DataFrame(
+        [
+            {
+                "n_candidates": n_candidates,
+                "n_matches": n_matches,
+                "hit_rate": n_matches / max(1, n_candidates),
+            }
+        ]
     )
 
 
@@ -200,147 +646,13 @@ def membership_rows(minhash_ds, simhash_ds, cfg: Config = DEFAULT_CONFIG):
     NO salting here, by design: the bipartite min-label path uses only
     combiner-based Min aggregates, which pre-aggregate hot buckets
     map-side before the shuffle — salting would instead SPLIT clusters.
-    Salting exists for the map_groups candidate-pair path, where a whole
-    bucket lands in one task.
     """
     m = minhash_ds.map_batches(
-        lambda t: band_explode(t, cfg, 1, carry_sig=False),
-        batch_format="pyarrow",
+        lambda t: band_explode(t, cfg), batch_format="pyarrow"
     )
     if simhash_ds is not None:
         s = simhash_ds.map_batches(
-            lambda t: simhash_band_explode(t, cfg, 1),
-            batch_format="pyarrow",
+            lambda t: simhash_band_explode(t, cfg), batch_format="pyarrow"
         )
         m = m.union(s)
     return m
-
-
-
-
-def simhash_candidate_pairs(simhash_ds, cfg: Config = DEFAULT_CONFIG, num_salts: int = 1):
-    """Verified image near-dup pairs: (id_a, id_b, jaccard_est=1-ham/64)."""
-    from hmse_ray.stages.aggregates import hash_partitioned_groupby_arrow
-
-    bands = simhash_ds.map_batches(
-        lambda t: _simhash_bands_with_payload(t, cfg, num_salts), batch_format="pyarrow"
-    )
-    edges = hash_partitioned_groupby_arrow(
-        bands, "bucket", lambda t: _simhash_star_partition(t, cfg)
-    )
-    return dedup_pair_edges(edges)
-
-
-def _simhash_bands_with_payload(sim_batch: pa.Table, cfg: Config, num_salts: int) -> pa.Table:
-    t = simhash_band_explode(sim_batch, cfg, num_salts)
-    sims = sim_batch["simhash"].combine_chunks() if isinstance(
-        sim_batch["simhash"], pa.ChunkedArray
-    ) else sim_batch["simhash"]
-    nb = t.num_rows // sim_batch.num_rows
-    return t.append_column("simhash", pa.concat_arrays([sims] * nb))
-
-
-
-def similarity_hit_rate(minhash_ds, cfg: Config = DEFAULT_CONFIG):
-    """A3 (VALIDATION_METHODS.md:264): N_LSH_matches / N_candidate_pairs.
-
-    One row: n_candidates, n_matches, hit_rate — candidates are star
-    probes per bucket; matches pass the Jaccard verification.
-    """
-    from ray.data.aggregate import Sum
-
-    from hmse_ray.stages.aggregates import hash_partitioned_groupby_arrow
-
-    bands = minhash_ds.map_batches(
-        lambda t: band_explode(t, cfg, 1, carry_sig=True), batch_format="pyarrow"
-    )
-
-    def count_part(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table(
-                {"n_candidates": pa.array([0], pa.int64()),
-                 "n_matches": pa.array([0], pa.int64())}
-            )
-        tp, rep_idx = _bucket_partition_table(t)
-        n = tp.num_rows
-        M = np.asarray(tp["minhash"].combine_chunks().flatten()).reshape(n, -1)
-        est = (M == M[rep_idx]).mean(axis=1)
-        nonrep = np.arange(n) != rep_idx
-        keep = nonrep & (est >= cfg.jaccard_threshold)
-        return pa.table(
-            {"n_candidates": pa.array([int(nonrep.sum())], pa.int64()),
-             "n_matches": pa.array([int(keep.sum())], pa.int64())}
-        )
-
-    counts = hash_partitioned_groupby_arrow(bands, "bucket", count_part)
-    agg = counts.aggregate(
-        Sum("n_candidates", alias_name="n_candidates"),
-        Sum("n_matches", alias_name="n_matches"),
-    )
-    nc = agg.get("n_candidates") or 0
-    nm = agg.get("n_matches") or 0
-    import pandas as pd
-
-    return pd.DataFrame(
-        [{"n_candidates": nc, "n_matches": nm, "hit_rate": nm / max(1, nc)}]
-    )
-
-
-def _rep_rows_partition(t: pa.Table, num_salts: int) -> pa.Table:
-    """All sub-bucket representative rows of one hash partition,
-    re-keyed to the parent bucket (vectorized: the first row of each
-    sorted sub-bucket is its representative)."""
-    if t.num_rows == 0:
-        return pa.table(
-            {
-                "image_id": pa.array([], pa.string()),
-                "bucket": pa.array([], pa.int64()),
-                "minhash": pa.array([], t.schema.field("minhash").type)
-                if "minhash" in t.schema.names
-                else pa.array([], pa.null()),
-            }
-        )
-    t, rep_idx = _bucket_partition_table(t)
-    firsts = np.unique(rep_idx)
-    sel = pa.array(firsts, pa.int64())
-    parents = (
-        t["bucket"].to_numpy()[firsts].view(np.uint64) // np.uint64(num_salts)
-    ).view(np.int64)
-    return pa.table(
-        {
-            "image_id": t["image_id"].take(sel),
-            "bucket": pa.array(parents, pa.int64()),
-            "minhash": t["minhash"].take(sel),
-        }
-    )
-
-
-def candidate_pairs(minhash_ds, cfg: Config = DEFAULT_CONFIG, num_salts: int = 1):
-    """Verified candidate pair Dataset: (id_a, id_b, jaccard_est), deduped.
-
-    SHUFFLE 2 of SURVEY.md section 4.2: band explode -> groupby(bucket)
-    -> per-group star edges with Jaccard verification. The same pair can
-    surface from several bands — deduped by a final groupby.
-
-    With num_salts > 1 (hot-bucket skew at scale), a second, much
-    smaller pass links the sub-bucket representatives of each parent
-    bucket so recall across sub-buckets is preserved.
-    """
-    from hmse_ray.stages.aggregates import hash_partitioned_groupby_arrow
-
-    bands = minhash_ds.map_batches(
-        lambda t: band_explode(t, cfg, num_salts, carry_sig=True),
-        batch_format="pyarrow",
-    )
-    edges = hash_partitioned_groupby_arrow(
-        bands, "bucket", lambda t: _star_edges_partition(t, cfg)
-    )
-    if num_salts > 1:
-        reps = hash_partitioned_groupby_arrow(
-            bands, "bucket", lambda t: _rep_rows_partition(t, num_salts)
-        )
-        link_edges = hash_partitioned_groupby_arrow(
-            reps, "bucket", lambda t: _star_edges_partition(t, cfg)
-        )
-        edges = edges.union(link_edges)
-    return dedup_pair_edges(edges)

@@ -141,6 +141,61 @@ class TestHotBucketSkew:
         assert len(pairs) < 5 * n
         assert elapsed < 120
 
+    def test_default_path_auto_salts_hot_bucket(self, ray_session):
+        # VERDICT r01 item 2: the DEFAULT path (no num_salts arg) must
+        # detect and salt the mega-bucket via cfg.max_bucket_size
+        import ray.data as rd
+
+        from hmse_ray.stages import lsh, signatures
+        from hmse_ray.stages.clustering import components_unionfind
+
+        n = 1200
+        docs = rd.from_arrow(
+            pa.table(
+                {
+                    "image_id": [f"h{i:05d}" for i in range(n)],
+                    "caption": ["hot bucket caption " * 30] * n,
+                }
+            )
+        )
+        mh = signatures.minhash_stage(docs, CFG).materialize()
+        narrow = mh.select_columns(
+            ["image_id"] + [f"band_h{b}" for b in range(CFG.num_bands)]
+        )
+        hot = lsh.detect_hot_buckets(
+            narrow, CFG, lambda t: lsh.band_explode(t, CFG), n_rows=n
+        )
+        assert hot is not None and len(hot[0]) >= CFG.num_bands
+        # every detected bucket splits into ceil(n / max_bucket_size) salts
+        assert (hot[1] >= n // CFG.max_bucket_size).all()
+        pairs = lsh.candidate_pairs(mh, CFG).to_pandas()  # default path
+        lbl = components_unionfind(list(zip(pairs.id_a, pairs.id_b)))
+        assert len({lbl[f"h{i:05d}"] for i in range(n)}) == 1
+        assert len(pairs) < 5 * n
+
+    def test_non_power_of_two_salts(self, ray_session):
+        # ADVICE r01: parent recovery used to break for num_salts not a
+        # power of two; the parent column keeps connectivity exact
+        import ray.data as rd
+
+        from hmse_ray.stages import lsh, signatures
+        from hmse_ray.stages.clustering import components_unionfind
+
+        n = 60
+        docs = rd.from_arrow(
+            pa.table(
+                {
+                    "image_id": [f"s{i:03d}" for i in range(n)],
+                    "caption": ["salted caption words " * 25] * n,
+                }
+            )
+        )
+        mh = signatures.minhash_stage(docs, CFG).materialize()
+        for ns in (3, 5, 6, 7):
+            pairs = lsh.candidate_pairs(mh, CFG, num_salts=ns).to_pandas()
+            lbl = components_unionfind(list(zip(pairs.id_a, pairs.id_b)))
+            assert len({lbl[f"s{i:03d}"] for i in range(n)}) == 1, ns
+
 
 class TestMultimodal:
     def test_decode_resize_stage(self, ray_session):
