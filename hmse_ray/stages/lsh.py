@@ -313,16 +313,64 @@ def _empty_sig_list(n: int) -> pa.ListArray:
     )
 
 
+def _combine_pair_groups(t: pa.Table, key_col: str, cfg: Config) -> pa.Table:
+    """One hash partition of (key, jid, sig) rows, two rows per pair key
+    -> verified (id_a, id_b, jaccard_est). Vectorized: sort, boundary
+    scan, gathered (k, 128) uint32 agreement matrix."""
+    if t.num_rows == 0:
+        return _EMPTY_EDGES
+    t = t.sort_by([(key_col, "ascending"), ("jid", "ascending")])
+    n = t.num_rows
+    keys = _combine(t[key_col])
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    if n > 1:
+        if pa.types.is_integer(keys.type):
+            kn = keys.to_numpy()
+            new[1:] = kn[1:] != kn[:-1]
+        else:
+            new[1:] = np.invert(
+                np.asarray(pc.equal(keys.slice(1), keys.slice(0, n - 1)))
+            )
+    starts = np.nonzero(new)[0]
+    sizes = np.diff(np.append(starts, n))
+    good = starts[sizes == 2]  # both sigs resolved (collision-free)
+    if len(good) == 0:
+        return _EMPTY_EDGES
+    nh = cfg.num_hashes
+    arr = _combine(t["sig"])
+    offs = arr.offsets.to_numpy()
+    vals = np.asarray(arr.values)
+    ga = vals[offs[good][:, None] + np.arange(nh)]
+    gb = vals[offs[good + 1][:, None] + np.arange(nh)]
+    est = (ga == gb).mean(axis=1)
+    keep = np.nonzero(est >= cfg.jaccard_threshold)[0]
+    ids = _combine(t["jid"])
+    return pa.table(
+        {
+            "id_a": ids.take(pa.array(good[keep], pa.int64())),
+            "id_b": ids.take(pa.array(good[keep] + 1, pa.int64())),
+            "jaccard_est": pa.array(est[keep], pa.float64()),
+        }
+    )
+
+
 def verify_pairs(pairs_ds, signed_ds, cfg: Config = DEFAULT_CONFIG):
     """Unverified (id_a, id_b) pairs -> (id_a, id_b, jaccard_est) with
     est >= cfg.jaccard_threshold.
 
-    Signatures move at most ONCE: pairs fan out into per-id half-edge
-    rows; signature rows (filtered to candidate ids via a broadcast set
-    when the pair table is small) co-partition with them on hash(id),
-    attach vectorized (pc.index_in), then half-edges regroup on the pair
-    key where the agreement fraction is computed on a gathered
-    (2k, 128) uint32 matrix. No per-row Python anywhere.
+    Fast path (pair table fits the driver, the common case since pairs
+    are only near-dup members): broadcast a sorted (id_hash -> pair_id)
+    index; each signature row scatters itself directly into its pair
+    groups, so candidate signatures move through ONE int64-keyed shuffle
+    and non-candidate signatures never leave their block. Driver-side
+    collision check on the 64-bit id hashes keeps this exact (on a
+    collision — ~never — we fall back to the general path).
+
+    General path (huge pair sets): pairs fan out into per-id half-edge
+    rows, co-partitioned with ALL signature rows on hash(id) (signatures
+    move once — still 4x less than replicating them onto every band
+    row), then regroup on the pair key. No per-row Python anywhere.
     """
     import ray.data as rd
 
@@ -330,25 +378,57 @@ def verify_pairs(pairs_ds, signed_ds, cfg: Config = DEFAULT_CONFIG):
     n_pairs = pairs_ds.count()
     if n_pairs == 0:
         return rd.from_arrow(_EMPTY_EDGES)
-    id_filter_ref = None
+    nh = cfg.num_hashes
     if n_pairs <= _PAIR_BROADCAST_LIMIT:
         pt = pairs_ds.to_pandas()
-        cand = np.unique(np.concatenate([pt["id_a"].to_numpy(), pt["id_b"].to_numpy()]))
-        id_filter_ref = ray.put(pa.array(cand, pa.string()))
-    nh = cfg.num_hashes
+        ids_all = np.concatenate([pt["id_a"].to_numpy(), pt["id_b"].to_numpy()])
+        uniq_ids = np.unique(ids_all)
+        uh = pd.util.hash_array(uniq_ids).astype(np.uint64)
+        if len(np.unique(uh)) == len(uh):  # collision-free: exact
+            pair_ids = np.concatenate([np.arange(n_pairs), np.arange(n_pairs)]).astype(
+                np.int64
+            )
+            h_all = pd.util.hash_array(ids_all).astype(np.uint64)
+            order = np.argsort(h_all, kind="stable")
+            ref = ray.put((h_all[order], pair_ids[order]))
+
+            def sig_pair_rows(t: pa.Table) -> pa.Table:
+                ch, cpid = ray.get(ref)
+                ids = _combine(t["image_id"])
+                h = _id_hash(ids)
+                left = np.searchsorted(ch, h, side="left")
+                right = np.searchsorted(ch, h, side="right")
+                counts = right - left
+                total = int(counts.sum())
+                if total == 0:
+                    return pa.table(
+                        {
+                            "pair_id": pa.array([], pa.int64()),
+                            "jid": pa.array([], pa.string()),
+                            "sig": _empty_sig_list(0),
+                        }
+                    )
+                sel = np.repeat(np.arange(len(h)), counts)
+                within = np.arange(total) - np.repeat(
+                    np.cumsum(counts) - counts, counts
+                )
+                pids = cpid[np.repeat(left, counts) + within]
+                M = np.asarray(_combine(t["minhash"]).flatten()).reshape(t.num_rows, nh)
+                return pa.table(
+                    {
+                        "pair_id": pa.array(pids, pa.int64()),
+                        "jid": ids.take(pa.array(sel, pa.int64())),
+                        "sig": _sig_list_array(np.ascontiguousarray(M[sel]), nh),
+                    }
+                )
+
+            scattered = signed_ds.map_batches(sig_pair_rows, batch_format="pyarrow")
+            return hash_partitioned_groupby_arrow(
+                scattered, "pair_id", lambda t: _combine_pair_groups(t, "pair_id", cfg)
+            )
 
     def sig_rows(t: pa.Table) -> pa.Table:
-        if id_filter_ref is not None:
-            t = t.filter(pc.is_in(t["image_id"], value_set=ray.get(id_filter_ref)))
         n = t.num_rows
-        if n == 0:
-            return pa.table(
-                {
-                    "jid": pa.array([], pa.string()),
-                    "pairkey": pa.array([], pa.string()),
-                    "sig": _empty_sig_list(0),
-                }
-            )
         M = np.asarray(_combine(t["minhash"]).flatten()).reshape(n, nh)
         return pa.table(
             {
@@ -391,41 +471,9 @@ def verify_pairs(pairs_ds, signed_ds, cfg: Config = DEFAULT_CONFIG):
         return out.filter(pc.is_valid(out["sig"]))
 
     attached = hash_partitioned_groupby_arrow(both, "jid", attach)
-
-    def combine_pairs(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return _EMPTY_EDGES
-        t = t.sort_by([("pairkey", "ascending"), ("jid", "ascending")])
-        n = t.num_rows
-        keys = _combine(t["pairkey"])
-        new = np.empty(n, dtype=bool)
-        new[0] = True
-        if n > 1:
-            new[1:] = np.invert(
-                np.asarray(pc.equal(keys.slice(1), keys.slice(0, n - 1)))
-            )
-        starts = np.nonzero(new)[0]
-        sizes = np.diff(np.append(starts, n))
-        good = starts[sizes == 2]  # both sigs resolved
-        if len(good) == 0:
-            return _EMPTY_EDGES
-        arr = _combine(t["sig"])
-        offs = arr.offsets.to_numpy()
-        vals = np.asarray(arr.values)
-        ga = vals[offs[good][:, None] + np.arange(nh)]
-        gb = vals[offs[good + 1][:, None] + np.arange(nh)]
-        est = (ga == gb).mean(axis=1)
-        keep = np.nonzero(est >= cfg.jaccard_threshold)[0]
-        ids = _combine(t["jid"])
-        return pa.table(
-            {
-                "id_a": ids.take(pa.array(good[keep], pa.int64())),
-                "id_b": ids.take(pa.array(good[keep] + 1, pa.int64())),
-                "jaccard_est": pa.array(est[keep], pa.float64()),
-            }
-        )
-
-    return hash_partitioned_groupby_arrow(attached, "pairkey", combine_pairs)
+    return hash_partitioned_groupby_arrow(
+        attached, "pairkey", lambda t: _combine_pair_groups(t, "pairkey", cfg)
+    )
 
 
 # ------------------------------------------------------------ candidate pairs

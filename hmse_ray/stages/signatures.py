@@ -91,7 +91,13 @@ def _default_pool() -> tuple[int, int]:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    return (1, max(2, cpus // 2))
+    # The two signer chains run SEQUENTIALLY in the flagship (the tiny
+    # pair table is materialized between them), so each pool may take
+    # the whole cluster. min=cpus/2 skips the slow autoscaler ramp
+    # (measured 28.4s -> 22.6s on a 200k-row sign at 16 CPUs) while
+    # leaving half the CPUs for the read tasks; a FULL-size fixed pool
+    # instead starves the upstream read (measured effectively hung).
+    return (max(1, cpus // 2), max(2, cpus))
 
 
 def minhash_stage(ds, cfg: Config = DEFAULT_CONFIG, *, text_col="caption",
@@ -99,8 +105,8 @@ def minhash_stage(ds, cfg: Config = DEFAULT_CONFIG, *, text_col="caption",
     """Attach MinHash signatures via an actor pool (narrow projection first).
 
     concurrency defaults to an autoscaling pool sized to the cluster
-    (half the CPUs; two signer pools run concurrently) so the signers
-    neither starve the read/shuffle stages nor thrash on small hosts.
+    (1..all CPUs) — the signer chains run sequentially in the flagship,
+    so each pool gets the whole cluster while it is active.
     """
     concurrency = concurrency or _default_pool()
     ds = ds.select_columns(list(dict.fromkeys(keep_cols + (text_col,))))
