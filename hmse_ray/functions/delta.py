@@ -7,16 +7,28 @@ size (README.md:2175); otherwise it is stored full. Exact duplicates are
 stored as pointer records (README.md:1210, 1311-1313). Stored-chunk
 trichotomy: FULL / POINTER / DELTA (README.md:1634-1669).
 
-Encoder: zlib with the base as preset dictionary (``zdict``) — the
-standard library's substring-matching machinery (LZ77 longest-match
-against the base, the same role bsdiff's suffix-array search plays in
-the reference; bsdiff/xdelta3 are not installed in this container).
-Deterministic, and apply() inverts it exactly.
+Two encoders, smallest wins (1-byte format tag):
+
+* OPS (tag 0x02) — greedy substring matching against the base, the same
+  copy/insert role bsdiff's suffix-array search plays in the reference
+  (bsdiff/xdelta3 are not installed here): an 8-byte rolling-window
+  hash index over every base offset (built vectorized), greedy longest
+  match per target position with forward byte extension, COPY/INSERT
+  ops varint-serialized and DEFLATE-compressed. The scan loop advances
+  by the match length, so iterations ~ O(unmatched bytes + ops) for
+  near-duplicate inputs.
+* ZDICT (tag 0x01) — zlib with the base as preset dictionary (LZ77
+  longest-match against a 32 KB window of the base); wins for tiny
+  inputs where op framing overhead dominates.
+
+Deterministic, and apply() inverts both exactly.
 """
 
 from __future__ import annotations
 
 import zlib
+
+import numpy as np
 
 from hmse_ray.config import Config, DEFAULT_CONFIG
 
@@ -24,11 +36,121 @@ KIND_FULL = "full"
 KIND_POINTER = "pointer"
 KIND_DELTA = "delta"
 
+_TAG_ZDICT = b"\x01"
+_TAG_OPS = b"\x02"
+
+_W = 8  # match-seed window bytes
+_MIN_COPY = 12  # shortest copy worth an op
+_MAX_CANDS = 8  # candidate base positions probed per seed hash
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
+    shift = n = 0
+    while True:
+        b = buf[i]
+        i += 1
+        n |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return n, i
+        shift += 7
+
+
+def _window_hashes(a: np.ndarray) -> np.ndarray:
+    """uint64 hash of every _W-byte window (vectorized shifted view)."""
+    n = a.size - _W + 1
+    h = np.zeros(n, dtype=np.uint64)
+    for off in range(_W):
+        h = h * np.uint64(0x100000001B3) + a[off : off + n].astype(np.uint64)
+    return h
+
+
+def _encode_ops(base: bytes, target: bytes) -> bytes | None:
+    """Greedy copy/insert diff; None when inputs are too small to index."""
+    if len(base) < _W or len(target) < _W:
+        return None
+    ab = np.frombuffer(base, dtype=np.uint8)
+    at = np.frombuffer(target, dtype=np.uint8)
+    bh = _window_hashes(ab)
+    order = np.argsort(bh, kind="stable")
+    bh_sorted = bh[order]
+    th = _window_hashes(at)
+    # candidate range per target position, precomputed vectorized
+    left = np.searchsorted(bh_sorted, th, side="left")
+    right = np.searchsorted(bh_sorted, th, side="right")
+    nt, nb = len(target), len(base)
+    ops = bytearray()
+    ins_start = 0  # start of the pending insert run
+    i = 0
+    t_end = nt - _W + 1
+    while i < t_end:
+        lo, hi = left[i], min(right[i], left[i] + _MAX_CANDS)
+        best_len = 0
+        best_pos = 0
+        for k in range(lo, hi):
+            p = int(order[k])
+            # verify + extend forward
+            m = 0
+            limit = min(nb - p, nt - i)
+            while m < limit and base[p + m] == target[i + m]:
+                m += 1
+            if m > best_len:
+                best_len, best_pos = m, p
+        if best_len >= _MIN_COPY:
+            if ins_start < i:  # flush pending insert
+                seg = target[ins_start:i]
+                ops += b"\x00" + _varint(len(seg)) + seg
+            ops += b"\x01" + _varint(best_pos) + _varint(best_len)
+            i += best_len
+            ins_start = i
+        else:
+            i += 1
+    if ins_start < nt:
+        seg = target[ins_start:]
+        ops += b"\x00" + _varint(len(seg)) + seg
+    return zlib.compress(bytes(ops), 9)
+
+
+def _apply_ops(base: bytes, blob: bytes) -> bytes:
+    ops = zlib.decompress(blob)
+    out = bytearray()
+    i = 0
+    while i < len(ops):
+        tag = ops[i]
+        i += 1
+        if tag == 0:  # insert
+            ln, i = _read_varint(ops, i)
+            out += ops[i : i + ln]
+            i += ln
+        else:  # copy
+            pos, i = _read_varint(ops, i)
+            ln, i = _read_varint(ops, i)
+            out += base[pos : pos + ln]
+    return bytes(out)
+
+
+def _encode_zdict(base: bytes, target: bytes, cfg: Config) -> bytes:
+    c = zlib.compressobj(cfg.deflate_level, zlib.DEFLATED, 15, 9, zlib.Z_DEFAULT_STRATEGY, base)
+    return c.compress(target) + c.flush()
+
 
 def delta_encode(base: bytes, target: bytes, cfg: Config = DEFAULT_CONFIG) -> bytes | None:
-    """Binary delta of target vs base, or None if it misses the 20% bound."""
-    c = zlib.compressobj(cfg.deflate_level, zlib.DEFLATED, 15, 9, zlib.Z_DEFAULT_STRATEGY, base)
-    d = c.compress(target) + c.flush()
+    """Binary delta of target vs base (smallest encoder wins), or None
+    if it misses the 20% bound."""
+    z = _TAG_ZDICT + _encode_zdict(base, target, cfg)
+    o = _encode_ops(base, target)
+    d = z if o is None or len(z) <= len(o) + 1 else _TAG_OPS + o
     if len(d) <= cfg.delta_threshold * max(1, len(target)):
         return d
     return None
@@ -36,8 +158,11 @@ def delta_encode(base: bytes, target: bytes, cfg: Config = DEFAULT_CONFIG) -> by
 
 def delta_apply(base: bytes, delta: bytes) -> bytes:
     """Reconstruct target from (base, delta) — read-path M8."""
+    tag, blob = delta[:1], delta[1:]
+    if tag == _TAG_OPS:
+        return _apply_ops(base, blob)
     d = zlib.decompressobj(15, base)
-    return d.decompress(delta) + d.flush()
+    return d.decompress(blob) + d.flush()
 
 
 def choose_store_kind(

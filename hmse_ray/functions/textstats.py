@@ -57,6 +57,26 @@ def char_class_counts(texts: pd.Series) -> dict[str, np.ndarray]:
     }
 
 
+def _stop_votes(texts: pd.Series, langsets: list[set], distinct: bool):
+    """Vectorized per-row stopword counts: explode tokens once, isin +
+    bincount per language (no per-row Python loop). Returns
+    (votes[n_rows, n_langs], n_tokens[n_rows])."""
+    t = texts.fillna("").reset_index(drop=True)
+    toks = t.str.lower().str.split(_WS)
+    ex = toks.explode()
+    idx = ex.index.to_numpy().astype(np.int64)
+    n = len(t)
+    n_tokens = np.bincount(idx, minlength=n)
+    if distinct:
+        df = pd.DataFrame({"i": idx, "tok": ex.to_numpy()}).drop_duplicates()
+        idx, ex = df["i"].to_numpy(), df["tok"]
+    votes = np.zeros((n, len(langsets)), dtype=np.int64)
+    for j, stop in enumerate(langsets):
+        m = ex.isin(stop).to_numpy()
+        votes[:, j] = np.bincount(idx[m], minlength=n)
+    return votes, n_tokens
+
+
 def quality_scores(texts: pd.Series) -> np.ndarray:
     """Composite quality score in [0,1]: length band + alpha ratio +
     stopword presence - punct excess (heuristic quality filter)."""
@@ -65,11 +85,8 @@ def quality_scores(texts: pd.Series) -> np.ndarray:
     alpha_ratio = c["n_alpha"] / n
     punct_ratio = c["n_punct"] / n
     length_ok = np.clip(c["n_chars"] / 200.0, 0, 1)
-    toks = texts.fillna("").str.lower().str.split(_WS)
-    stop_en = STOPWORDS["en"]
-    stop_ratio = toks.map(
-        lambda ws: sum(w in stop_en for w in ws) / max(1, len(ws))
-    ).to_numpy()
+    votes, n_tokens = _stop_votes(texts, [STOPWORDS["en"]], distinct=False)
+    stop_ratio = votes[:, 0] / np.maximum(1, n_tokens)
     return np.clip(
         0.35 * alpha_ratio + 0.25 * length_ok + 0.4 * np.minimum(stop_ratio * 4, 1.0)
         - 0.5 * np.maximum(punct_ratio - 0.2, 0),
@@ -79,18 +96,15 @@ def quality_scores(texts: pd.Series) -> np.ndarray:
 
 
 def lang_scores(texts: pd.Series) -> tuple[list[str], np.ndarray]:
-    """Stopword-vote language ID -> (lang list, confidence array)."""
+    """Stopword-vote language ID -> (lang list, confidence array).
+    Votes are DISTINCT-token set intersections, computed vectorized."""
     langs = list(STOPWORDS)
-    toks = texts.fillna("").str.lower().str.split(_WS)
-    out_lang, out_conf = [], []
-    for ws in toks:
-        s = set(ws)
-        votes = [len(s & STOPWORDS[lg]) for lg in langs]
-        best = int(np.argmax(votes))
-        total = sum(votes)
-        out_lang.append(langs[best] if total else "und")
-        out_conf.append(votes[best] / total if total else 0.0)
-    return out_lang, np.asarray(out_conf)
+    votes, _ = _stop_votes(texts, [STOPWORDS[lg] for lg in langs], distinct=True)
+    best = votes.argmax(axis=1)
+    total = votes.sum(axis=1)
+    conf = np.where(total > 0, votes[np.arange(len(votes)), best] / np.maximum(1, total), 0.0)
+    out_lang = [langs[b] if tt else "und" for b, tt in zip(best, total)]
+    return out_lang, conf
 
 
 def winnow_fingerprints(text: str, k: int = 8, window: int = 16) -> np.ndarray:

@@ -380,7 +380,10 @@ def verify_pairs(pairs_ds, signed_ds, cfg: Config = DEFAULT_CONFIG):
         return rd.from_arrow(_EMPTY_EDGES)
     nh = cfg.num_hashes
     if n_pairs <= _PAIR_BROADCAST_LIMIT:
-        pt = pairs_ds.to_pandas()
+        # dedup on the driver (the same pair surfaces from several
+        # bands) — saves a whole distinct shuffle on this path
+        pt = pairs_ds.to_pandas().drop_duplicates(["id_a", "id_b"])
+        n_pairs = len(pt)
         ids_all = np.concatenate([pt["id_a"].to_numpy(), pt["id_b"].to_numpy()])
         uniq_ids = np.unique(ids_all)
         uh = pd.util.hash_array(uniq_ids).astype(np.uint64)
@@ -426,6 +429,10 @@ def verify_pairs(pairs_ds, signed_ds, cfg: Config = DEFAULT_CONFIG):
             return hash_partitioned_groupby_arrow(
                 scattered, "pair_id", lambda t: _combine_pair_groups(t, "pair_id", cfg)
             )
+
+    # general (huge-pair-set) path: distributed distinct first — the
+    # combine kernel requires exactly two rows per pair key
+    pairs_ds = distinct_pairs(pairs_ds, val_col=None).materialize()
 
     def sig_rows(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -532,8 +539,9 @@ def candidate_pairs(minhash_ds, cfg: Config = DEFAULT_CONFIG,
         edges = edges.union(link)
     else:
         edges = mixed
-    uniq = distinct_pairs(edges, val_col=None)
-    return verify_pairs(uniq, signed, cfg)
+    # dedup happens inside verify_pairs (driver-side when the pair set
+    # is small, a distributed distinct otherwise) — no extra shuffle
+    return verify_pairs(edges, signed, cfg)
 
 
 # ----------------------------------------------------------- simhash variant
@@ -652,6 +660,22 @@ def simhash_candidate_pairs(simhash_ds, cfg: Config = DEFAULT_CONFIG,
         edges = edges.union(link)
     else:
         edges = mixed
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges <= _PAIR_BROADCAST_LIMIT:
+        # tiny pair set: dedup on the driver instead of a whole shuffle
+        import ray.data as rd
+
+        if n_edges == 0:
+            return rd.from_arrow(_EMPTY_EDGES)
+        pt = (
+            edges.to_pandas()
+            .groupby(["id_a", "id_b"], as_index=False, sort=False)["jaccard_est"]
+            .max()
+        )
+        return rd.from_arrow(
+            pa.Table.from_pandas(pt, preserve_index=False).cast(_EMPTY_EDGES.schema)
+        )
     return dedup_pair_edges(edges)
 
 

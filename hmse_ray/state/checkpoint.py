@@ -123,7 +123,16 @@ def run_phase2(out_dir: str, cfg: Config = DEFAULT_CONFIG,
     import glob
 
     p1 = os.path.join(out_dir, "phase1")
-    parts = sorted(d for d in os.listdir(p1) if d.startswith("part="))
+    # only marker-bearing partitions are trusted (the resume contract):
+    # a *.tmp dir or a partition killed between write and atomic rename
+    # must not be read as committed data
+    parts = sorted(
+        d
+        for d in os.listdir(p1)
+        if d.startswith("part=")
+        and not d.endswith(".tmp")
+        and os.path.exists(os.path.join(p1, d, "_SUCCESS"))
+    )
 
     def files_of(sub: str) -> list[str]:
         out = []

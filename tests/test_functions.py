@@ -177,6 +177,24 @@ class TestDelta:
         a, b = RAND_1MB[:4096], RAND_1MB[4096:8192]
         assert delta.delta_encode(a, b, CFG) is None
 
+    def test_large_base_beyond_zlib_window(self):
+        # the ops encoder matches against the WHOLE base (bsdiff role);
+        # zlib-zdict only sees the last 32 KB, so an early edit in a
+        # 120 KB incompressible record would miss the 20% bound entirely
+        base = RAND_1MB[:120_000]
+        target = base[:300] + b"EDITED" + base[300:]
+        d = delta.delta_encode(base, target, CFG)
+        assert d is not None and d[:1] == delta._TAG_OPS
+        assert len(d) < 0.01 * len(target)
+        assert delta.delta_apply(base, d) == target
+
+    def test_ops_roundtrip_structured(self):
+        base = (b"block %03d with shared content. " % 7) * 4000  # ~128 KB
+        target = base[:500] + b"X" + base[500:90_000] + base[95_000:]
+        d = delta.delta_encode(base, target, CFG)
+        assert d is not None
+        assert delta.delta_apply(base, d) == target
+
     def test_trichotomy(self):
         base = b"abc " * 2000
         t = base[:100] + b"x" + base[100:]

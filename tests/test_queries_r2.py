@@ -1,0 +1,124 @@
+"""Round-2 driver-query additions: ANN recall, planted embedding
+near-dups, streaming image derivation, store/verify queries, checkpoint
+marker filtering."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestAnnRecall:
+    def test_approx_paths_recall(self, ray_session):
+        from hmse_ray.pipelines.queries import ann_recall
+
+        df = ann_recall(SF)
+        assert set(df["method"]) == {"lsh", "ivf"}
+        # approximate paths must find >= 90% of the brute-force top-10
+        assert (df["recall_at_k"] >= 0.9).all(), df.to_dict("records")
+
+
+class TestEmbeddingNearDups:
+    def test_planted_pairs_found(self, ray_session):
+        from hmse_ray.pipelines.queries import PLANT_OFFSET, embedding_near_dups
+
+        df = embedding_near_dups(SF).to_pandas()
+        assert len(df) > 0  # non-vacuous at sf0.001 (VERDICT r01 finding 7)
+        import pyarrow.parquet as pq
+
+        ids = pq.read_table(
+            os.path.join(SF, "embeddings.parquet"), columns=["vec_id"]
+        )["vec_id"].to_numpy()
+        planted = set(ids[ids % 20 == 0].astype(np.int64))
+        found = set()
+        for a, b in zip(df["id_a"], df["id_b"]):
+            lo, hi = min(a, b), max(a, b)
+            if hi - PLANT_OFFSET == lo:
+                found.add(lo)
+        assert len(found) / max(1, len(planted)) >= 0.9
+        # every reported pair really is cosine-close
+        assert (df["cosine"] >= 0.98).all()
+
+
+class TestStreamingImageDerivation:
+    def test_ds_matches_table(self, ray_session):
+        from hmse_ray.sources import fixtures
+
+        t = fixtures.images_from_documents(SF)
+        ds = fixtures.images_from_documents_ds(SF).to_pandas()
+        ds = ds.sort_values("image_id").reset_index(drop=True)
+        tt = t.to_pandas().sort_values("image_id").reset_index(drop=True)
+        assert ds.equals(tt)
+
+
+class TestNgramPairs:
+    def test_pairs_verified_exact(self, ray_session):
+        from hmse_ray.functions import textstats
+        from hmse_ray.pipelines.queries import ngram_jaccard_pairs
+
+        df = ngram_jaccard_pairs(SF).to_pandas()
+        assert len(df) > 0
+        assert (df["jaccard"] >= 0.7).all()
+        # spot-check reported scores against a direct computation
+        import pyarrow.parquet as pq
+
+        docs = pq.read_table(os.path.join(SF, "documents.parquet"),
+                             columns=["doc_id", "text"]).to_pandas()
+        txt = dict(zip(docs["doc_id"].astype(str), docs["text"]))
+        for r in df.head(5).itertuples():
+            j = textstats.ngram_jaccard(txt[r.id_a], txt[r.id_b])
+            assert abs(j - r.jaccard) < 1e-6
+
+
+class TestStoreQueries:
+    def test_store_kind_stats(self, ray_session):
+        from hmse_ray.pipelines.queries import store_kind_stats_docs
+
+        df = store_kind_stats_docs(SF)
+        kinds = set(df["store_kind"])
+        assert "pointer" in kinds  # planted exact dups
+        assert "full" in kinds
+
+    def test_roundtrip_invariant(self, ray_session):
+        from hmse_ray.pipelines.queries import roundtrip_invariant
+
+        df = roundtrip_invariant(SF)
+        r = df.iloc[0]
+        assert r["caption_pass"] == r["n_rows"] > 0
+        assert r["pixel_pass"] == r["n_rows"]
+
+
+class TestCheckpointMarkers:
+    def test_phase2_ignores_uncommitted_dirs(self, ray_session, tmp_path):
+        from hmse_ray.config import DEFAULT_CONFIG as CFG
+        from hmse_ray.sources import fixtures
+        from hmse_ray.state import checkpoint
+
+        images, _, _ = fixtures.generate_images(40, seed=3)
+        files = fixtures.write_sharded(images, str(tmp_path / "s"), shards=3)
+        import pyarrow.parquet as pq
+
+        out = str(tmp_path / "run")
+        checkpoint.run_resumable(files, out, CFG, num_partitions=2)
+
+        def clusters():
+            return (
+                pq.read_table(os.path.join(out, "final", "clusters"))
+                .to_pandas()
+                .sort_values("image_id")
+                .reset_index(drop=True)
+            )
+
+        before = clusters()
+        # plant a leftover .tmp dir and a marker-less partial partition:
+        # phase 2 must ignore both
+        p1 = os.path.join(out, "phase1")
+        os.makedirs(os.path.join(p1, "part=9.tmp", "minhash"), exist_ok=True)
+        os.makedirs(os.path.join(p1, "part=8", "minhash"), exist_ok=True)
+        stats = checkpoint.run_phase2(out, CFG)
+        assert stats["n_total"] > 0
+        assert clusters().equals(before)
