@@ -77,9 +77,10 @@ def run_bench() -> dict:
     _ = dedup.read_images(fdir + "/images").count()
 
     t0 = time.time()
-    clusters = dedup.cluster_assignments(
-        dedup.read_images(fdir + "/images"), cfg
-    )
+    # pass the PATH, not a Dataset: each branch then reads only its
+    # columns (pushdown) instead of re-reading the full table (bytes
+    # included) three times
+    clusters = dedup.cluster_assignments(fdir + "/images", cfg)
     if "--stats" in sys.argv:
         clusters = clusters.materialize()
     n_images = clusters.count()

@@ -47,10 +47,37 @@ class TestStats:
         rng = np.random.default_rng(1)
         a, b = rng.normal(0, 1, 50), rng.normal(2, 1, 50)
         r = stats.welch_t(a, b)
-        assert r["p_approx"] < 0.001
+        assert r["p_approx"] < 0.001 and r["p"] < 0.001
         same = stats.welch_t(a, a)
         assert same["p_approx"] > 0.9
         assert abs(stats.cohens_d(a, b)) > 1.0
+
+    def test_t_distribution_exact(self):
+        # textbook values: P(T>2.042 | df=30) = 0.025; P(T>1 | df=1) = 0.25
+        assert abs(stats._t_sf(2.042, 30) - 0.025) < 5e-4
+        assert abs(stats._t_sf(1.0, 1) - 0.25) < 1e-9
+        assert abs(stats.betainc_reg(2, 3, 0.5) - 0.6875) < 1e-9
+
+    def test_shapiro_wilk_matches_exact_tables(self):
+        # Royston's weights example; W by the original 1965 n=11
+        # coefficient table is 0.7889 (hand-computable)
+        r = stats.shapiro_wilk(
+            [148, 154, 158, 160, 161, 162, 166, 170, 182, 195, 236]
+        )
+        assert abs(r["W"] - 0.7889) < 2e-3
+        assert r["p"] < 0.05  # clearly non-normal (outlier 236)
+
+    def test_shapiro_wilk_calibration(self):
+        rng = np.random.default_rng(0)
+        ps = np.array(
+            [stats.shapiro_wilk(rng.standard_normal(30))["p"] for _ in range(200)]
+        )
+        # p approximately uniform under H0
+        assert 0.01 < (ps < 0.05).mean() < 0.12
+        pe = np.array(
+            [stats.shapiro_wilk(rng.exponential(size=30))["p"] for _ in range(100)]
+        )
+        assert (pe < 0.01).mean() > 0.7  # skewed data rejected
 
 
 class TestAblations:
