@@ -38,6 +38,14 @@ def read_images(path_or_table, columns=None, num_blocks: int | None = None):
     if isinstance(path_or_table, pa.Table):
         t = path_or_table.select(columns) if columns else path_or_table
         return rd.from_arrow(t)
+    if isinstance(path_or_table, str) and path_or_table.endswith(".lance"):
+        try:  # production target; the lance package is not in this container
+            return rd.read_lance(path_or_table, columns=columns)
+        except (AttributeError, ImportError) as e:
+            raise NotImplementedError(
+                "lance input requires the 'lance' package (not installed); "
+                "use parquet"
+            ) from e
     if num_blocks is None:
         import ray
 
@@ -165,22 +173,44 @@ def candidate_pair_edges(images, cfg: Config = DEFAULT_CONFIG, *,
     if dedup_first:
         uniq, exact_edges = _dedup_captions_first(mh_src, cfg)
         mh = signatures.minhash_stage(uniq, cfg, concurrency=concurrency)
-        pairs = lsh.candidate_pairs(mh, cfg, num_salts=num_salts).union(exact_edges)
     else:
         mh = signatures.minhash_stage(mh_src, cfg, concurrency=concurrency)
+    if not use_simhash:
         pairs = lsh.candidate_pairs(mh, cfg, num_salts=num_salts)
-    if use_simhash:
-        # Materialize the (tiny, ids-only) caption pair table FIRST so
-        # the two signer chains run sequentially with the whole cluster
-        # each, instead of two 16-actor pools fighting the shuffle tasks
-        # for cores (measured 63s concurrent vs 39s sequential on this
-        # host). Only candidate pairs are pinned — never signatures or
-        # payloads.
-        pairs = pairs.materialize()
-        sh_src = _branch(images, ["image_id", "bytes", "w", "h", "fmt", "phash"])
-        sh = signatures.simhash_stage(sh_src, cfg, concurrency=concurrency)
-        pairs = pairs.union(lsh.simhash_candidate_pairs(sh, cfg, num_salts=num_salts))
-    return pairs
+        return pairs.union(exact_edges) if dedup_first else pairs
+
+    # The two SIGNER pools run sequentially (two full-size actor pools
+    # fighting for cores measured 63s vs 39s in round 1), but the
+    # caption LSH chain (narrow shuffles, little CPU) overlaps with the
+    # image signer pool: the minhash chain runs on the main thread while
+    # a helper thread drives simhash signing. Only candidate pairs and
+    # signatures are pinned — never payloads.
+    import threading
+
+    signed_mh = mh.materialize()  # minhash POOL finishes before simhash pool starts
+    sh_src = _branch(images, ["image_id", "bytes", "w", "h", "fmt", "phash"])
+    sh_holder: dict = {}
+
+    def _sign_sh():
+        try:
+            sh_holder["ds"] = signatures.simhash_stage(
+                sh_src, cfg, concurrency=concurrency
+            ).materialize()
+        except BaseException as e:  # surfaced after join
+            sh_holder["err"] = e
+
+    th = threading.Thread(target=_sign_sh, daemon=True)
+    th.start()
+    pairs = lsh.candidate_pairs(signed_mh, cfg, num_salts=num_salts)
+    if dedup_first:
+        pairs = pairs.union(exact_edges)
+    pairs = pairs.materialize()
+    th.join()
+    if "err" in sh_holder:
+        raise sh_holder["err"]
+    return pairs.union(
+        lsh.simhash_candidate_pairs(sh_holder["ds"], cfg, num_salts=num_salts)
+    )
 
 
 def cluster_assignments(images, cfg: Config = DEFAULT_CONFIG, *,

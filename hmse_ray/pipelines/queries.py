@@ -23,8 +23,13 @@ Operator coverage map (SURVEY.md section 2 -> query):
   A3 hit rate .............. lsh_hit_rate;  O2 ....... random_pair_jaccard_hist
   text analysis (graft) .... token_counts, char_class_profile,
                              lang_id_docs, quality_docs, doc_fingerprints
-  similarity search ........ ann_topk (brute-force cosine), ann_topk_lsh
-  flagship ................. image_clusters (images derived from documents)
+  similarity search ........ ann_topk (brute-force cosine, SQL-checked),
+                             ann_topk_lsh (multi-table), ann_topk_ivf,
+                             ann_recall (recall@10 gate vs brute force)
+  M7-M9/J3/J4/A6 store ..... store_kind_stats, roundtrip_invariant
+  embedding dedup .......... embedding_near_dups (planted, non-vacuous)
+  flagship ................. image_clusters (images derived from documents,
+                             STREAMING inside map_batches)
 """
 
 from __future__ import annotations

@@ -92,6 +92,35 @@ class TestStoreQueries:
         assert r["pixel_pass"] == r["n_rows"]
 
 
+class TestCLI:
+    def test_energy_json(self, capsys):
+        from hmse_ray.run import main
+
+        assert main(["energy", "--size-gb", "75"]) == 0
+        import json
+
+        out = json.loads(capsys.readouterr().out.strip())
+        assert out["total_wh"] > 0 and out["breakeven_cf"] > 1
+
+    def test_cluster_command(self, ray_session, tmp_path, capsys):
+        from hmse_ray.run import main
+        from hmse_ray.sources import fixtures
+
+        images, _, _ = fixtures.generate_images(30, seed=11)
+        fixtures.write_sharded(images, str(tmp_path / "in"), shards=2)
+        out = str(tmp_path / "clusters")
+        assert main(["cluster", "--input", str(tmp_path / "in"), "--output", out]) == 0
+        import json
+
+        import pyarrow.parquet as pq
+
+        res = json.loads(capsys.readouterr().out.strip())
+        assert res["rows"] == 30
+        t = pq.read_table(out)
+        assert sorted(t.column_names) == ["cluster_id", "image_id"]
+        assert t.num_rows == 30
+
+
 class TestCheckpointMarkers:
     def test_phase2_ignores_uncommitted_dirs(self, ray_session, tmp_path):
         from hmse_ray.config import DEFAULT_CONFIG as CFG
