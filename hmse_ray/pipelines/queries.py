@@ -13,7 +13,11 @@ Operator coverage map (SURVEY.md section 2 -> query):
   A1 compression factor .... compression_accounting
   A2/A4 refcounts .......... fixed_chunk_histogram, cdc_chunk_index
   A5 chunk-size stats ...... cdc_chunk_stats
-  T1/J2/M6 MinHash+LSH ..... minhash_doc_pairs, doc_clusters
+  T1/J2/M6 MinHash+LSH ..... minhash_doc_pairs (text-tuned banding),
+                             doc_clusters (exact edges, SQL-checked)
+  exact similarity join .... ngram_jaccard_pairs / exact_jaccard_pairs
+                             (prefix filtering, guaranteed recall,
+                             SQL-checked)
   sort/limit (sec 2.6) ..... top_longest_docs
   sampling O1 .............. sample_docs
   grouped agg (sec 2.5) .... dup_ratio_by_source, events_window_agg
@@ -23,17 +27,21 @@ Operator coverage map (SURVEY.md section 2 -> query):
   A3 hit rate .............. lsh_hit_rate;  O2 ....... random_pair_jaccard_hist
   text analysis (graft) .... token_counts, char_class_profile,
                              lang_id_docs, quality_docs, doc_fingerprints
+                             (ALL SQL-checked; winnowing fingerprints via
+                             a generated murmur3 CTE chain)
   similarity search ........ ann_topk (brute-force cosine, SQL-checked),
                              ann_topk_lsh (multi-table), ann_topk_ivf,
                              ann_recall (recall@10 gate vs brute force)
   M7-M9/J3/J4/A6 store ..... store_kind_stats, roundtrip_invariant
-  embedding dedup .......... embedding_near_dups (planted, non-vacuous)
+  embedding dedup .......... embedding_near_dups (planted, non-vacuous,
+                             SQL-checked incl. the murmur perturbations)
   flagship ................. image_clusters (images derived from documents,
                              STREAMING inside map_batches)
 """
 
 from __future__ import annotations
 
+import dataclasses
 import hashlib
 import os
 import zlib
@@ -819,9 +827,21 @@ def embedding_near_dups(sf_dir, threshold=0.98, plant: bool = True):
 # ------------------------------------------------------------- near-dup text
 
 
+# Text near-dup banding: 16 bands x 8 rows puts the S-curve knee at
+# (1/16)^(1/8) ~ 0.71 — recall ~0.9999 at the j>=0.9 pairs this corpus
+# contains and only ~1% false candidates from the fat j~0.4 background
+# blob (32x4's knee of 0.42 turned half that blob into candidates —
+# measured 23.5s at sf0.1). The image flagship keeps the reference's
+# 4 x 32 banding (knee ~0.96, tuned for near-identical images) — at
+# sf0.001 that banding measurably missed 6 of 28 true j>=0.92 text
+# pairs, which is why text queries get their own config.
+TEXT_CFG = dataclasses.replace(CFG, num_bands=16, rows_per_band=8)
+
+
 def minhash_doc_pairs(sf_dir):
-    """T1+J2+M6 over the documents table (rows-only): verified MinHash
-    LSH candidate pairs of near-duplicate texts."""
+    """T1+J2+M6 over the documents table (rows-only: jaccard_est is the
+    MinHash estimate, not SQL-reproducible): verified MinHash LSH
+    candidate pairs of near-duplicate texts under text-tuned banding."""
     from hmse_ray.stages import lsh, signatures
 
     docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
@@ -830,23 +850,34 @@ def minhash_doc_pairs(sf_dir):
         ),
         batch_format="pyarrow",
     )
-    mh = signatures.minhash_stage(docs, CFG)
-    return lsh.candidate_pairs(mh, CFG)
+    mh = signatures.minhash_stage(docs, TEXT_CFG)
+    return lsh.candidate_pairs(mh, TEXT_CFG)
 
 
-def doc_clusters(sf_dir):
-    """Near-dup cluster assignment over documents (rows-only)."""
-    from hmse_ray.stages import clustering, lsh, signatures
+def doc_clusters(sf_dir, threshold: float = 0.8):
+    """Near-dup cluster assignment over documents (SQL-checked).
 
-    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+    Edges are EXACT-Jaccard >= threshold pairs from the prefix-filter
+    self-join (guaranteed recall), so the DuckDB connected-components
+    oracle is sound by construction. The MinHash-LSH edge path is
+    exercised by minhash_doc_pairs and the image flagship."""
+    from hmse_ray.stages import clustering
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    edges = exact_jaccard_pairs(docs, threshold).map_batches(
         lambda t: pa.table(
-            {"image_id": pc.cast(t["doc_id"], pa.string()), "caption": t["text"]}
+            {
+                "src": pc.cast(t["id_a"], pa.string()),
+                "dst": pc.cast(t["id_b"], pa.string()),
+            }
         ),
         batch_format="pyarrow",
     )
-    mh = signatures.minhash_stage(docs, CFG)
-    pairs = lsh.candidate_pairs(mh, CFG)
-    return clustering.cluster_from_edges(pairs, docs, CFG)
+    images = docs.map_batches(
+        lambda t: pa.table({"image_id": pc.cast(t["doc_id"], pa.string())}),
+        batch_format="pyarrow",
+    )
+    return clustering.cluster_from_edges(edges, images, CFG)
 
 
 def simhash_text_pairs(sf_dir):
@@ -867,126 +898,201 @@ def simhash_text_pairs(sf_dir):
     return lsh.simhash_candidate_pairs(sims, CFG)
 
 
-def ngram_jaccard_pairs(sf_dir, threshold: float = 0.7):
-    """Exact character-4-gram Jaccard pairs (rows-only): MinHash LSH
-    proposes candidates through the NARROW (id, bucket) shuffle; exact
-    n-gram Jaccard verification then fetches only candidate texts via a
-    broadcast id->pair index (round 2: texts no longer ride the band
-    shuffle x4 — VERDICT r01 'weak at scale' item)."""
-    from hmse_ray.functions import minhash as mh_fn
-    from hmse_ray.stages.aggregates import (
-        distinct_pairs,
-        hash_partitioned_groupby_arrow,
-    )
-    from hmse_ray.stages.lsh import _star_ids_partition, band_explode
+def exact_jaccard_pairs(docs, threshold: float = 0.7):
+    """EXACT character-4-gram Jaccard similarity self-join over a
+    (doc_id, text) Dataset -> (id_a, id_b, jaccard), id_a < id_b.
 
-    def sign(t: pa.Table) -> pa.Table:
-        texts_l = t["text"].to_pylist()
-        sigs = mh_fn.signatures([x.encode() for x in texts_l], CFG)
-        bh = mh_fn.band_hashes(sigs, CFG)
-        cols = {"image_id": pc.cast(t["doc_id"], pa.string())}
-        for b in range(CFG.num_bands):
-            cols[f"band_h{b}"] = pa.array(bh[:, b].view(np.int64), pa.int64())
-        return pa.table(cols)
+    Candidates come from PREFIX FILTERING (AllPairs/PPJoin family —
+    Bayardo, Ma, Srikant, WWW'07; public algorithm), not MinHash LSH,
+    so recall at the threshold is GUARANTEED by the prefix-filter
+    theorem (two sets with Jaccard >= t must share a token among the
+    first ``m - ceil(t*m) + 1`` of their globally-ordered token lists),
+    making the brute-force DuckDB oracle sound for any similarity
+    distribution — not just bimodal corpora.
 
-    docs = _docs(sf_dir, ["doc_id", "text"])
-    signed = docs.map_batches(sign, batch_format="pyarrow")
-    bands = signed.map_batches(lambda t: band_explode(t, CFG), batch_format="pyarrow")
-    mixed = hash_partitioned_groupby_arrow(bands, "bucket", _star_ids_partition)
-    uniq = distinct_pairs(mixed, val_col=None).materialize()
-    if uniq.count() == 0:
-        return rd.from_arrow(
-            pa.table(
-                {
-                    "id_a": pa.array([], pa.string()),
-                    "id_b": pa.array([], pa.string()),
-                    "jaccard": pa.array([], pa.float64()),
-                }
-            )
-        )
-    pt = uniq.to_pandas()
-    n_pairs = len(pt)
-    ids_all = np.concatenate([pt["id_a"].to_numpy(), pt["id_b"].to_numpy()])
-    pair_ids = np.concatenate([np.arange(n_pairs), np.arange(n_pairs)]).astype(np.int64)
-    h_all = pd.util.hash_array(ids_all).astype(np.uint64)
-    order = np.argsort(h_all, kind="stable")
-    ref = ray.put((h_all[order], pair_ids[order]))
+    Scale shape (the standard 3-shuffle distributed set-similarity
+    join): (1) NARROW (shingle, doc_id) rows grouped by shingle to
+    attach global DOCUMENT FREQUENCY — the AllPairs token order
+    (rarest first) that keeps prefix groups tiny on skewed corpora;
+    (2) regroup by doc_id to pick each doc's prefix under the
+    (df, shingle) order; (3) regroup prefix rows by shingle to emit
+    candidate pairs, deduped by packed key. Verification intersects
+    SHINGLE SETS from a broadcast CSR index (ray.put once, vectorized
+    searchsorted per batch) — on corpora with high background
+    similarity (this testdata: ~0.4 Jaccard between ALL docs from a
+    shared template) the prefix filter cannot prune below all-pairs,
+    so verification throughput is what bounds the join; at cluster
+    scale where the CSR index outgrows worker memory the same
+    verification becomes two more (pair_id, set) shuffles joining each
+    side's sets instead of a broadcast.
+    """
+    from hmse_ray.stages.aggregates import hash_partitioned_groupby_arrow
 
-    def text_pair_rows(t: pa.Table) -> pa.Table:
-        ch, cpid = ray.get(ref)
-        ids = pc.cast(t["doc_id"], pa.string())
-        ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
-        h = pd.util.hash_array(ids.to_numpy(zero_copy_only=False)).astype(np.uint64)
-        left = np.searchsorted(ch, h, side="left")
-        right = np.searchsorted(ch, h, side="right")
-        counts = right - left
-        total = int(counts.sum())
-        if total == 0:
-            return pa.table(
-                {
-                    "pair_id": pa.array([], pa.int64()),
-                    "jid": pa.array([], pa.string()),
-                    "text": pa.array([], pa.string()),
-                }
-            )
-        sel = np.repeat(np.arange(len(h)), counts)
-        within = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
-        pids = cpid[np.repeat(left, counts) + within]
-        sel_a = pa.array(sel, pa.int64())
-        texts_col = t["text"].combine_chunks() if isinstance(
-            t["text"], pa.ChunkedArray
-        ) else t["text"]
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        out_sh, out_id = [], []
+        for i, txt in enumerate(t["text"].to_pylist()):
+            sh = textstats.char_ngram_set(txt or "")  # sorted unique u32
+            out_sh.append(sh.astype(np.int64))
+            out_id.append(np.full(sh.size, ids[i], dtype=np.int64))
         return pa.table(
             {
-                "pair_id": pa.array(pids, pa.int64()),
-                "jid": ids.take(sel_a),
-                "text": texts_col.take(sel_a),
+                "shingle": pa.array(np.concatenate(out_sh), pa.int64()),
+                "doc_id": pa.array(np.concatenate(out_id), pa.int64()),
             }
         )
 
-    scattered = docs.map_batches(text_pair_rows, batch_format="pyarrow")
+    def df_part(t: pa.Table) -> pa.Table:
+        """Attach per-shingle document frequency (global: partitioned
+        by shingle)."""
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "shingle": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                }
+            )
+        t = t.sort_by([("shingle", "ascending")])
+        sh = t["shingle"].to_numpy()
+        n = len(sh)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = sh[1:] != sh[:-1]
+        starts = np.nonzero(new)[0]
+        sizes = np.diff(np.append(starts, n))
+        df = np.repeat(sizes, sizes)
+        return t.append_column("df", pa.array(df, pa.int64()))
 
-    def score_part(t: pa.Table) -> pa.Table:
+    def prefix_part(t: pa.Table) -> pa.Table:
+        """Per-doc prefix (rarest-first token order)."""
         empty = pa.table(
-            {
-                "id_a": pa.array([], pa.string()),
-                "id_b": pa.array([], pa.string()),
-                "jaccard": pa.array([], pa.float64()),
-            }
+            {"shingle": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64())}
         )
         if t.num_rows == 0:
             return empty
-        t = t.sort_by([("pair_id", "ascending"), ("jid", "ascending")])
-        pids = t["pair_id"].to_numpy()
-        n = len(pids)
+        t = t.sort_by(
+            [("doc_id", "ascending"), ("df", "ascending"), ("shingle", "ascending")]
+        )
+        ids = t["doc_id"].to_numpy()
+        n = len(ids)
         new = np.empty(n, dtype=bool)
         new[0] = True
-        new[1:] = pids[1:] != pids[:-1]
+        new[1:] = ids[1:] != ids[:-1]
         starts = np.nonzero(new)[0]
         sizes = np.diff(np.append(starts, n))
-        good = starts[sizes == 2]
-        if len(good) == 0:
+        lpref = sizes - np.ceil(threshold * sizes).astype(np.int64) + 1
+        within = np.arange(n) - np.repeat(starts, sizes)
+        keep = within < np.repeat(lpref, sizes)
+        kept = t.filter(pa.array(keep))
+        return kept.select(["shingle", "doc_id"])
+
+    def pairs_part(t: pa.Table) -> pa.Table:
+        """All pairs within each shingle group (candidates)."""
+        empty = pa.table({"pairkey": pa.array([], pa.int64())})
+        if t.num_rows == 0:
             return empty
-        texts_l = t["text"].to_pylist()
-        ids_c = t["jid"].combine_chunks() if isinstance(
-            t["jid"], pa.ChunkedArray
-        ) else t["jid"]
+        t = t.sort_by([("shingle", "ascending"), ("doc_id", "ascending")])
+        sh = t["shingle"].to_numpy()
+        ids = t["doc_id"].to_numpy()
+        n = len(sh)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = sh[1:] != sh[:-1]
+        starts = np.append(np.nonzero(new)[0], n)
+        keys = []
+        for s, e in zip(starts[:-1], starts[1:]):
+            m = e - s
+            if m < 2:
+                continue
+            iu, ju = np.triu_indices(m, 1)
+            g = ids[s:e]
+            keys.append((g[iu] << np.int64(32)) | g[ju])  # ids sorted: lo<<32|hi
+        if not keys:
+            return empty
+        return pa.table({"pairkey": pa.array(np.concatenate(keys), pa.int64())})
+
+    sh_ds = docs.map_batches(shingle_rows, batch_format="pyarrow").materialize()
+    with_df = hash_partitioned_groupby_arrow(sh_ds, "shingle", df_part)
+    prefixes = hash_partitioned_groupby_arrow(with_df, "doc_id", prefix_part)
+    cand = hash_partitioned_groupby_arrow(prefixes, "shingle", pairs_part)
+    empty_out = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+
+    # Broadcast CSR index of every doc's sorted shingle set, assembled
+    # in a REMOTE task (never materialized on the driver; ~16
+    # bytes/shingle in the object store — see the docstring for the
+    # shuffle-join upgrade once this outgrows worker memory at cluster
+    # scale).
+    @ray.remote
+    def _build_csr(*tables):
+        st = pa.concat_tables(tables).sort_by(
+            [("doc_id", "ascending"), ("shingle", "ascending")]
+        )
+        sdoc = st["doc_id"].to_numpy()
+        svals = st["shingle"].to_numpy().astype(np.int64)
+        n = len(sdoc)
+        if n == 0:
+            return (
+                np.array([], dtype=np.int64),
+                np.array([0], dtype=np.int64),
+                svals,
+            )
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = sdoc[1:] != sdoc[:-1]
+        starts = np.nonzero(new)[0]
+        return sdoc[starts], np.append(starts, n), svals
+
+    csr_ref = _build_csr.remote(*sh_ds.to_arrow_refs())
+
+    def uniq_verify(t: pa.Table) -> pa.Table:
+        """Fused per-partition dedup + exact verification (partitioned
+        by pairkey, so np.unique per partition IS global dedup)."""
+        if t.num_rows == 0:
+            return empty_out
+        cids, coffs, cvals = ray.get(csr_ref)
+        pk = np.unique(t["pairkey"].to_numpy())
+        a = (pk >> np.int64(32)).astype(np.int64)
+        b = (pk & np.int64(0xFFFFFFFF)).astype(np.int64)
+        la = np.searchsorted(cids, a)
+        lb = np.searchsorted(cids, b)
         out_a, out_b, out_j = [], [], []
-        for s in good:  # per-PAIR python: pairs are few; set ops dominate
-            j = textstats.ngram_jaccard(texts_l[s], texts_l[s + 1])
+        for i in range(len(pk)):  # per-pair sorted-set intersection count
+            sa = cvals[coffs[la[i]] : coffs[la[i] + 1]]
+            sb = cvals[coffs[lb[i]] : coffs[lb[i] + 1]]
+            if sb.size < sa.size:
+                sa, sb = sb, sa
+            idx = np.searchsorted(sb, sa)
+            idx[idx == sb.size] = 0
+            inter = int(np.count_nonzero(sb[idx] == sa))
+            j = inter / max(1, sa.size + sb.size - inter)
             if j >= threshold:
-                out_a.append(s)
-                out_b.append(s + 1)
+                out_a.append(a[i])
+                out_b.append(b[i])
                 out_j.append(round(j, 6))
+        if not out_a:
+            return empty_out
         return pa.table(
             {
-                "id_a": ids_c.take(pa.array(out_a, pa.int64())),
-                "id_b": ids_c.take(pa.array(out_b, pa.int64())),
+                "id_a": pa.array(out_a, pa.int64()),
+                "id_b": pa.array(out_b, pa.int64()),
                 "jaccard": pa.array(out_j, pa.float64()),
             }
         )
 
-    return hash_partitioned_groupby_arrow(scattered, "pair_id", score_part)
+    return hash_partitioned_groupby_arrow(cand, "pairkey", uniq_verify)
+
+
+def ngram_jaccard_pairs(sf_dir, threshold: float = 0.7):
+    """Exact 4-gram Jaccard pairs over the documents table (SQL-checked,
+    guaranteed recall — see exact_jaccard_pairs)."""
+    return exact_jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold)
 
 
 def store_kind_stats_docs(sf_dir):
@@ -1100,6 +1206,152 @@ def image_clusters(sf_dir):
 
 # ------------------------------------------------------------------ oracles
 
+# --- murmur3-in-SQL oracle builder -----------------------------------------
+# murmur3_x86_32 of a 4-byte key is pure integer arithmetic, so it IS
+# SQL-expressible: a generated CTE chain of masked uint32 steps (HUGEINT
+# for the 32x32-bit multiplies). This lets DuckDB reproduce the
+# winnowing fingerprints and the murmur-planted embedding perturbations
+# bit-for-bit instead of downgrading those queries to rows-only checks.
+
+_MM_MASK = 4294967296  # 2^32
+
+
+def _mm_chain_sql(src_cte: str, carry: list[str], cols: dict[str, tuple[str, int]],
+                  prefix: str) -> tuple[str, str]:
+    """CTE chain computing murmur3_u32(key_expr, seed) per output col.
+
+    cols: out_name -> (key_expr, seed). Returns (cte_text, last_cte).
+    Mirrors functions/murmur3.py murmur3_u32 step for step.
+    """
+    M = _MM_MASK
+    C1, C2 = 0xCC9E2D51, 0x1B873593
+    F1, F2, NC = 0x85EBCA6B, 0xC2B2AE35, 0xE6546B64
+    steps: list[dict[str, str]] = [
+        # premix: k *= C1
+        {o: f"CAST((CAST(({k}) AS HUGEINT) * {C1}) % {M} AS BIGINT)"
+         for o, (k, _) in cols.items()},
+        # rotl15, k *= C2
+        {o: f"CAST((CAST((({o} * 32768) % {M}) | ({o} // 131072) AS HUGEINT)"
+            f" * {C2}) % {M} AS BIGINT)" for o in cols},
+        # h = seed^k; rotl13; h*5+N
+        {o: f"(((xor({s}, {o}) * 8192) % {M} | (xor({s}, {o}) // 524288))"
+            f" * 5 + {NC}) % {M}" for o, (_, s) in cols.items()},
+        # finalize(len=4): h^=4; h^=h>>16; h*=F1
+        {o: f"CAST((CAST(xor(xor({o}, 4), xor({o}, 4) // 65536) AS HUGEINT)"
+            f" * {F1}) % {M} AS BIGINT)" for o in cols},
+        # h^=h>>13; h*=F2
+        {o: f"CAST((CAST(xor({o}, {o} // 8192) AS HUGEINT) * {F2}) % {M} AS BIGINT)"
+         for o in cols},
+        # h^=h>>16
+        {o: f"xor({o}, {o} // 65536)" for o in cols},
+    ]
+    parts = []
+    prev = src_cte
+    for i, step in enumerate(steps, 1):
+        sel = ", ".join(carry + [f"{e} AS {o}" for o, e in step.items()])
+        parts.append(f"m{prefix}{i} AS (SELECT {sel} FROM {prev})")
+        prev = f"m{prefix}{i}"
+    return ", ".join(parts), prev
+
+
+def _winnow_fingerprint_sql() -> str:
+    """DuckDB mirror of textstats.doc_fingerprint64 (k=8, window=16).
+
+    ascii() byte access assumes single-byte text (testdata is ASCII;
+    python hashes raw bytes). Docs shorter than 8 bytes (python NUL-pads)
+    are not covered — testdata minimum is 48 chars.
+    """
+    ctes, last = _mm_chain_sql(
+        "w", ["doc_id", "p"], {"h0": ("w0", 24301), "h4": ("w4", 24305)}, "f"
+    )
+    return f"""
+        WITH pos AS (
+          SELECT doc_id, text, unnest(generate_series(1, length(text) - 7)) AS p
+          FROM documents
+        ), w AS (
+          SELECT doc_id, p,
+            ascii(substr(text, CAST(p AS INT), 1))
+              + ascii(substr(text, CAST(p + 1 AS INT), 1)) * 256
+              + ascii(substr(text, CAST(p + 2 AS INT), 1)) * 65536
+              + ascii(substr(text, CAST(p + 3 AS INT), 1)) * 16777216 AS w0,
+            ascii(substr(text, CAST(p + 4 AS INT), 1))
+              + ascii(substr(text, CAST(p + 5 AS INT), 1)) * 256
+              + ascii(substr(text, CAST(p + 6 AS INT), 1)) * 65536
+              + ascii(substr(text, CAST(p + 7 AS INT), 1)) * 16777216 AS w4
+          FROM pos
+        ), {ctes}, hp AS (
+          SELECT doc_id, p, xor(h0, h4) AS h FROM {last}
+        ), counts AS (
+          SELECT doc_id, count(*) AS np FROM hp GROUP BY doc_id
+        ), wm AS (
+          SELECT h.doc_id, h.p, c.np,
+                 min(h.h) OVER (PARTITION BY h.doc_id ORDER BY h.p
+                                ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS mn
+          FROM hp h JOIN counts c USING (doc_id)
+        ), sel AS (
+          SELECT doc_id, mn FROM wm WHERE np > 16 AND p <= np - 15
+          UNION ALL
+          SELECT doc_id, min(mn) AS mn FROM wm WHERE np <= 16 GROUP BY doc_id
+        ), dist AS (
+          SELECT DISTINCT doc_id, mn FROM sel
+        )
+        SELECT doc_id, count(*) * {_MM_MASK} + bit_xor(mn) AS fingerprint
+        FROM dist GROUP BY doc_id
+    """
+
+
+def _embedding_near_dups_sql() -> str:
+    """DuckDB mirror of embedding_near_dups: murmur-planted near-dup
+    vectors (float32-cast like the arrow list<float> schema), all-pairs
+    cosine >= 0.98 over originals + planted. The LSH-bucketed pipeline
+    finds the same pairs (planted cosine ~0.9995 -> band collision
+    probability 1 - 3e-6); no natural pairs reach 0.98 in testdata.
+    """
+    ctes, last = _mm_chain_sql(
+        "sd", ["vec_id", "j", "xn"], {"hu": ("sd.seed", 53751)}, "p"
+    )
+    return f"""
+        WITH be AS (
+          SELECT vec_id,
+                 unnest(generate_series(1, len(embedding))) - 1 AS j,
+                 unnest(embedding) AS x
+          FROM embeddings
+        ), n1 AS (
+          SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+          FROM be GROUP BY vec_id
+        ), vn AS (
+          SELECT b.vec_id, j, CAST(x AS DOUBLE) / greatest(nrm, 1e-30) AS xn
+          FROM be b JOIN n1 USING (vec_id)
+        ), sd AS (
+          SELECT vec_id, j, xn, (vec_id * 64 + j) % {_MM_MASK} AS seed
+          FROM vn WHERE vec_id % 20 = 0
+        ), {ctes}, u0 AS (
+          SELECT vec_id, j, xn, CAST(hu AS DOUBLE) / 2147483648 - 1.0 AS u
+          FROM {last}
+        ), nu AS (
+          SELECT vec_id, sqrt(sum(u * u)) AS unrm FROM u0 GROUP BY vec_id
+        ), planted AS (
+          SELECT u0.vec_id + 1000000000 AS vec_id, j,
+                 CAST(CAST(xn + 0.03 * (u / greatest(unrm, 1e-30)) AS FLOAT)
+                      AS DOUBLE) AS x
+          FROM u0 JOIN nu USING (vec_id)
+        ), allv AS (
+          SELECT vec_id, j, CAST(x AS DOUBLE) AS x FROM be
+          UNION ALL SELECT vec_id, j, x FROM planted
+        ), n2 AS (
+          SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM allv GROUP BY vec_id
+        ), nv AS (
+          SELECT a.vec_id, j, x / greatest(nrm, 1e-30) AS xn
+          FROM allv a JOIN n2 USING (vec_id)
+        ), dots AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.xn * b.xn) AS cosine
+          FROM nv a JOIN nv b ON a.j = b.j AND a.vec_id < b.vec_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, round(cosine, 6) AS cosine FROM dots WHERE cosine >= 0.98
+    """
+
+
 ORACLES = {
     "exact_dedup_docs": """
         SELECT sha256(text) AS sha256, MIN(doc_id) AS canonical_id,
@@ -1179,6 +1431,122 @@ ORACLES = {
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_mktsegment
     """,
+    # Byte-4-gram Jaccard over encode(text) blobs: byte-exact vs the
+    # implementation's uint32 byte shingles even for multibyte UTF-8
+    # (the latent fixed_chunk_histogram divergence doesn't recur here).
+    # Docs shorter than 4 bytes diverge (python pads with NULs) — the
+    # testdata minimum is 48 chars.
+    "ngram_jaccard_pairs": """
+        WITH pos AS (
+          SELECT doc_id, hex(encode(text)) AS th,
+                 unnest(generate_series(1, greatest(octet_length(encode(text)) - 3, 1))) AS i
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, substr(th, CAST((i - 1) * 2 + 1 AS INT), 8) AS g FROM pos
+        ), card AS (
+          SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS cnt
+          FROM sh s1 JOIN sh s2 ON s1.g = s2.g AND s1.doc_id < s2.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT CAST(a AS BIGINT) AS id_a, CAST(b AS BIGINT) AS id_b,
+               round(cnt / (ca.c + cb.c - cnt), 6) AS jaccard
+        FROM inter
+        JOIN card ca ON ca.doc_id = a
+        JOIN card cb ON cb.doc_id = b
+        WHERE cnt / (ca.c + cb.c - cnt) >= 0.7
+    """,
+    # Connected components (min-member label, string compare — matching
+    # components_unionfind) over TRUE-Jaccard >= 0.8 edges. Sound: the
+    # pipeline's edges are prefix-filter exact-Jaccard pairs with
+    # guaranteed recall, so both sides compute the same edge set.
+    "doc_clusters": """
+        WITH RECURSIVE pos AS (
+          SELECT doc_id, hex(encode(text)) AS th,
+                 unnest(generate_series(1, greatest(octet_length(encode(text)) - 3, 1))) AS i
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, substr(th, CAST((i - 1) * 2 + 1 AS INT), 8) AS g FROM pos
+        ), card AS (
+          SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS cnt
+          FROM sh s1 JOIN sh s2 ON s1.g = s2.g AND s1.doc_id < s2.doc_id
+          GROUP BY 1, 2
+        ), e0 AS (
+          SELECT a, b FROM inter
+          JOIN card ca ON ca.doc_id = a JOIN card cb ON cb.doc_id = b
+          WHERE cnt / (ca.c + cb.c - cnt) >= 0.8
+        ), edges AS (
+          SELECT CAST(a AS VARCHAR) AS u, CAST(b AS VARCHAR) AS v FROM e0
+          UNION SELECT CAST(b AS VARCHAR), CAST(a AS VARCHAR) FROM e0
+        ), reach(u, v) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        ), lbl AS (
+          SELECT u, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+        )
+        SELECT CAST(d.doc_id AS VARCHAR) AS image_id,
+               coalesce(l.cluster_id, CAST(d.doc_id AS VARCHAR)) AS cluster_id
+        FROM documents d LEFT JOIN lbl l ON l.u = CAST(d.doc_id AS VARCHAR)
+    """,
+    # Stopword-vote language ID: DISTINCT lowercase whitespace tokens,
+    # votes per language, argmax with en>de>fr>es tie priority
+    # (matching the STOPWORDS dict insertion order argmax).
+    "lang_id_docs": r"""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+          FROM documents
+        ), dt AS (
+          SELECT DISTINCT doc_id, tok FROM toks
+        ), v AS (
+          SELECT doc_id,
+            count(*) FILTER (WHERE tok IN ('the','and','of','to','a','in','is','that','it','for')) AS v_en,
+            count(*) FILTER (WHERE tok IN ('der','die','das','und','ist','nicht','ein','mit','zu','auf')) AS v_de,
+            count(*) FILTER (WHERE tok IN ('le','la','les','et','est','une','pas','pour','dans','que')) AS v_fr,
+            count(*) FILTER (WHERE tok IN ('el','la','los','y','es','una','no','por','con','que')) AS v_es
+          FROM dt GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+          CASE WHEN v_en + v_de + v_fr + v_es = 0 THEN 'und'
+               WHEN v_en >= v_de AND v_en >= v_fr AND v_en >= v_es THEN 'en'
+               WHEN v_de >= v_fr AND v_de >= v_es THEN 'de'
+               WHEN v_fr >= v_es THEN 'fr'
+               ELSE 'es' END AS lang_pred,
+          round(CASE WHEN v_en + v_de + v_fr + v_es = 0 THEN 0.0
+                     ELSE greatest(v_en, v_de, v_fr, v_es) / (v_en + v_de + v_fr + v_es)
+                END, 6) AS confidence
+        FROM documents d JOIN v ON v.doc_id = d.doc_id
+    """,
+    # Composite quality score; the arithmetic mirrors
+    # textstats.quality_scores term-for-term (same left-assoc float64
+    # op order -> bit-identical before round).
+    "quality_docs": r"""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+          FROM documents
+        ), v AS (
+          SELECT doc_id, count(*) AS n_toks,
+            count(*) FILTER (WHERE tok IN ('the','and','of','to','a','in','is','that','it','for')) AS v_en
+          FROM toks GROUP BY doc_id
+        ), c AS (
+          SELECT doc_id,
+                 length(text) AS n_chars,
+                 length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
+                 length(text) - length(regexp_replace(text, '[^\sA-Za-z0-9]', '', 'g')) AS n_punct
+          FROM documents
+        )
+        SELECT c.doc_id,
+               round(least(greatest(
+                 0.35 * (n_alpha / greatest(1, n_chars))
+                 + 0.25 * least(greatest(n_chars / 200.0, 0.0), 1.0)
+                 + 0.4 * least((v_en / greatest(1, n_toks)) * 4, 1.0)
+                 - 0.5 * greatest(n_punct / greatest(1, n_chars) - 0.2, 0.0),
+               0.0), 1.0), 6) AS quality
+        FROM c JOIN v ON v.doc_id = c.doc_id
+    """,
     "ann_topk": """
         WITH q AS (
           SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10
@@ -1191,6 +1559,8 @@ ORACLES = {
         FROM scored
         QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) <= 10
     """,
+    "doc_fingerprints": _winnow_fingerprint_sql(),
+    "embedding_near_dups": _embedding_near_dups_sql(),
 }
 
 QUERIES = {

@@ -63,15 +63,51 @@ class TestNgramPairs:
         df = ngram_jaccard_pairs(SF).to_pandas()
         assert len(df) > 0
         assert (df["jaccard"] >= 0.7).all()
+        assert (df["id_a"] < df["id_b"]).all()
         # spot-check reported scores against a direct computation
         import pyarrow.parquet as pq
 
         docs = pq.read_table(os.path.join(SF, "documents.parquet"),
                              columns=["doc_id", "text"]).to_pandas()
-        txt = dict(zip(docs["doc_id"].astype(str), docs["text"]))
+        txt = dict(zip(docs["doc_id"], docs["text"]))
         for r in df.head(5).itertuples():
             j = textstats.ngram_jaccard(txt[r.id_a], txt[r.id_b])
             assert abs(j - r.jaccard) < 1e-6
+
+    def test_prefix_filter_recall_vs_bruteforce(self, ray_session):
+        """Pairs with INTERMEDIATE similarity (0.7-0.9) — the band LSH
+        S-curve blind spot — must all be found (prefix-filter recall
+        guarantee)."""
+        import itertools
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from hmse_ray.functions import textstats
+        from hmse_ray.pipelines.queries import exact_jaccard_pairs
+
+        rng = __import__("numpy").random.default_rng(77)
+        base = "the quick brown fox jumps over the lazy dog " * 8
+        texts = []
+        for i in range(40):
+            # perturb a shared base by replacing a variable-length tail
+            # so pairwise jaccards spread across [0.3, 1.0]
+            cut = rng.integers(0, len(base) // 2)
+            tail = "".join(rng.choice(list("abcdefgh ")) for _ in range(cut))
+            texts.append(base[: len(base) - cut] + tail)
+        docs = rd.from_arrow(
+            pa.table({"doc_id": pa.array(range(40), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+        )
+        got = exact_jaccard_pairs(docs, 0.7).to_pandas()
+        got_pairs = {(int(a), int(b)) for a, b in zip(got.id_a, got.id_b)}
+        want = {
+            (i, j)
+            for i, j in itertools.combinations(range(40), 2)
+            if textstats.ngram_jaccard(texts[i], texts[j]) >= 0.7
+        }
+        assert want, "fixture must contain >=1 true pair"
+        assert got_pairs == want
 
 
 class TestStoreQueries:
