@@ -9,7 +9,9 @@ MinHash/LSH, fingerprints, compression) are rows-only checks.
 
 Operator coverage map (SURVEY.md section 2 -> query):
   J1/O4 exact dedup ........ exact_dedup_docs, cdc_chunk_index
-  M3 chunking .............. fixed_chunk_histogram (SQL), cdc_chunk_stats
+  M3 chunking .............. fixed_chunk_histogram (SQL), cdc_chunk_stats,
+                             cdc_source_chunks (REAL gear-hash cuts,
+                             SQL-checked via recursive CTE oracle)
   A1 compression factor .... compression_accounting
   A2/A4 refcounts .......... fixed_chunk_histogram, cdc_chunk_index
   A5 chunk-size stats ...... cdc_chunk_stats
@@ -139,6 +141,51 @@ def cdc_chunk_index(sf_dir):
         _docs(sf_dir, ["doc_id", "text"]), CFG, text_col="text", id_col="doc_id"
     )
     return exact_dedup.dedup_chunks(chunks, CFG, id_col="doc_id")
+
+
+def cdc_source_chunks(sf_dir):
+    """M3/A5 with REAL content-defined boundaries (SQL-checked): FastCDC
+    over per-source concatenated document streams. The per-document cdc
+    queries never exceed chunk_min at testdata doc lengths (48-553 B vs
+    min 1024), so this is the query that actually exercises gear-hash
+    cuts and the min/avg/max walk against an oracle — the DuckDB side
+    recomputes the gear rolling hash and normalized-chunking rule from
+    scratch (recursive CTE; see _cdc_source_chunks_sql).
+
+    Partitioning: one group per source stream — the stream is the unit
+    of chunking, so groups are independent; at scale 'source' maps to a
+    shard/file and chunking stays stream-local (no cross-stream state).
+    """
+    from hmse_ray.stages.aggregates import hash_partitioned_groupby_arrow
+
+    def chunk_part(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("source", "ascending"), ("doc_id", "ascending")])
+        srcs = t["source"].to_pylist()
+        texts = t["text"].to_pylist()
+        o_src, o_idx, o_len, o_sha = [], [], [], []
+        i, n = 0, len(srcs)
+        while i < n:
+            j = i
+            while j < n and srcs[j] == srcs[i]:
+                j += 1
+            data = "".join(texts[i:j]).encode()
+            for idx, (off, ln) in enumerate(fastcdc.chunk_boundaries(data, CFG)):
+                o_src.append(srcs[i])
+                o_idx.append(idx)
+                o_len.append(ln)
+                o_sha.append(hashlib.sha256(data[off : off + ln]).hexdigest())
+            i = j
+        return pa.table(
+            {
+                "source": pa.array(o_src, pa.string()),
+                "chunk_idx": pa.array(o_idx, pa.int64()),
+                "chunk_len": pa.array(o_len, pa.int64()),
+                "sha": pa.array(o_sha, pa.string()),
+            }
+        )
+
+    docs = _docs(sf_dir, ["source", "doc_id", "text"])
+    return hash_partitioned_groupby_arrow(docs, "source", chunk_part)
 
 
 def compression_accounting(sf_dir):
@@ -1352,6 +1399,86 @@ def _embedding_near_dups_sql() -> str:
     """
 
 
+def _cdc_source_chunks_sql() -> str:
+    """DuckDB mirror of cdc_source_chunks: the FastCDC gear rolling
+    hash recomputed per position (positions x 32-offset join against
+    the inlined 256-entry gear table), strict/loose mask candidates,
+    next-boundary per position via ASOF joins, and the sequential
+    min/avg/max chunk walk as a recursive CTE over that next-boundary
+    table. ascii() byte access assumes single-byte text (testdata is
+    ASCII; python chunks the encoded bytes)."""
+    from hmse_ray.functions import fastcdc as _fc
+
+    gear = _fc.gear_table(CFG.gear_seed)
+    gear_vals = ",".join(f"({i},{int(v)})" for i, v in enumerate(gear))
+    cmin, cavg, cmax = CFG.chunk_min, CFG.chunk_avg, CFG.chunk_max
+    bits = int(CFG.rabin_mask).bit_length()
+    mask_s = (1 << (bits + 1)) - 1
+    mask_l = (1 << (bits - 3)) - 1
+    return f"""
+        WITH RECURSIVE gear(b, g) AS (VALUES {gear_vals}),
+        sl AS MATERIALIZED (
+          SELECT source, string_agg(text, '' ORDER BY doc_id) AS s,
+                 CAST(sum(length(text)) AS BIGINT) AS n
+          FROM documents GROUP BY source
+        ), offs AS (
+          SELECT source, doc_id, text,
+                 sum(length(text)) OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS off
+          FROM documents
+        ), bytes AS MATERIALIZED (
+          SELECT source, CAST(coalesce(off, 0) + qd AS BIGINT) AS q,
+                 ascii(substr(text, CAST(qd AS INT), 1)) AS by
+          FROM (SELECT source, off, text,
+                       unnest(generate_series(1, length(text))) AS qd
+                FROM offs)
+        ), hashes AS MATERIALIZED (
+          SELECT t.source, t.q,
+                 CAST(sum(CAST(g.g AS HUGEINT)
+                          * (1::HUGEINT << CAST(t.k AS INT))) % {_MM_MASK}
+                      AS BIGINT) AS h
+          FROM (SELECT source, q, unnest(generate_series(0, least(q - 1, 31))) AS k
+                FROM bytes) t
+          JOIN bytes b2 ON b2.source = t.source AND b2.q = t.q - t.k
+          JOIN gear g ON g.b = b2.by
+          GROUP BY 1, 2
+        ), cand_s AS MATERIALIZED (
+          SELECT source, q - 1 AS c FROM hashes WHERE (h & {mask_s}) = 0
+        ), cand_l AS MATERIALIZED (
+          SELECT source, q - 1 AS c FROM hashes WHERE (h & {mask_l}) = 0
+        ), nb AS MATERIALIZED (
+          SELECT p.source, p.q - 1 AS p, sl.n,
+            CASE WHEN cs.c IS NOT NULL AND cs.c < p.q - 1 + {cavg} - 1 THEN cs.c + 1
+                 WHEN cl.c IS NOT NULL AND cl.c <= p.q - 1 + {cmax} - 1 THEN cl.c + 1
+                 ELSE least(p.q - 1 + {cmax}, sl.n) END AS e
+          FROM bytes p
+          JOIN sl ON sl.source = p.source
+          ASOF LEFT JOIN cand_s cs
+            ON cs.source = p.source AND cs.c >= p.q - 1 + {cmin} - 1
+          ASOF LEFT JOIN cand_l cl
+            ON cl.source = p.source AND cl.c >= p.q - 1 + {cavg} - 1
+        ), ch(source, strt) AS (
+          SELECT source, 0 FROM sl WHERE n > 0
+          UNION ALL
+          SELECT c.source, nb.e FROM ch c
+          JOIN nb ON nb.source = c.source AND nb.p = c.strt
+          WHERE nb.e < nb.n
+        ), chunks AS (
+          SELECT c.source, c.strt,
+                 CASE WHEN nb.n <= {cmin} THEN nb.n
+                      ELSE least(nb.e, nb.n) - c.strt END AS len
+          FROM ch c JOIN nb ON nb.source = c.source AND nb.p = c.strt
+        )
+        SELECT c.source,
+               row_number() OVER (PARTITION BY c.source ORDER BY c.strt) - 1
+                 AS chunk_idx,
+               c.len AS chunk_len,
+               sha256(substr(sl.s, CAST(c.strt + 1 AS INT), CAST(c.len AS INT)))
+                 AS sha
+        FROM chunks c JOIN sl ON sl.source = c.source
+    """
+
+
 ORACLES = {
     "exact_dedup_docs": """
         SELECT sha256(text) AS sha256, MIN(doc_id) AS canonical_id,
@@ -1561,6 +1688,7 @@ ORACLES = {
     """,
     "doc_fingerprints": _winnow_fingerprint_sql(),
     "embedding_near_dups": _embedding_near_dups_sql(),
+    "cdc_source_chunks": _cdc_source_chunks_sql(),
 }
 
 QUERIES = {
@@ -1568,6 +1696,7 @@ QUERIES = {
     "fixed_chunk_histogram": fixed_chunk_histogram,
     "cdc_chunk_stats": cdc_chunk_stats,
     "cdc_chunk_index": cdc_chunk_index,
+    "cdc_source_chunks": cdc_source_chunks,
     "compression_accounting": compression_accounting,
     "token_counts": token_counts,
     "char_class_profile": char_class_profile,

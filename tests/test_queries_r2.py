@@ -128,6 +128,26 @@ class TestStoreQueries:
         assert r["pixel_pass"] == r["n_rows"]
 
 
+class TestCdcSourceChunks:
+    def test_streams_reassemble_and_bound(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from hmse_ray.config import DEFAULT_CONFIG as CFG
+        from hmse_ray.pipelines.queries import cdc_source_chunks
+
+        df = cdc_source_chunks(SF).to_pandas()
+        assert len(df) > 0
+        assert (df["chunk_len"] <= CFG.chunk_max).all()
+        docs = pq.read_table(
+            os.path.join(SF, "documents.parquet"), columns=["source", "text"]
+        ).to_pandas()
+        want_len = docs.assign(n=docs["text"].str.len()).groupby("source")["n"].sum()
+        got_len = df.groupby("source")["chunk_len"].sum()
+        assert got_len.sort_index().equals(want_len.sort_index())
+        # at least one source long enough to produce multiple chunks
+        assert df.groupby("source")["chunk_idx"].max().max() >= 1
+
+
 class TestCLI:
     def test_energy_json(self, capsys):
         from hmse_ray.run import main
