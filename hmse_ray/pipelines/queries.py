@@ -26,7 +26,10 @@ Operator coverage map (SURVEY.md section 2 -> query):
   join (sec 2.4) ........... orders_by_segment (broadcast hash join)
   streaming windows ........ events_window_agg (tumbling), events_sessionize
                              (session windows, SQL-checked)
-  A3 hit rate .............. lsh_hit_rate;  O2 ....... random_pair_jaccard_hist
+  A3 hit rate .............. lsh_hit_rate
+  O2 pair histogram ........ random_pair_jaccard_hist (MinHash est) +
+                             random_pair_true_jaccard_hist (exact,
+                             SQL-checked; same murmur-rank pairing)
   text analysis (graft) .... token_counts, char_class_profile,
                              lang_id_docs, quality_docs, doc_fingerprints
                              (ALL SQL-checked; winnowing fingerprints via
@@ -1221,9 +1224,14 @@ def random_pair_jaccard_hist(sf_dir, n_bins: int = 10):
         )
 
     signed = docs.map_batches(sign, batch_format="pyarrow").to_pandas()
-    # driver-side pairing of the (small) signature table; seeded
-    rng = np.random.default_rng(CFG.sample_seed)
-    order = rng.permutation(len(signed))
+    # pairing by murmur rank (same deterministic rule as the SQL-checked
+    # true-jaccard twin below: rank docs by murmur3(doc_id), pair rank k
+    # with rank k + n/2)
+    from hmse_ray.functions import murmur3
+
+    ids = signed["doc_id"].to_numpy()
+    hm = murmur3.murmur3_u32(ids.astype(np.uint32), CFG.sample_seed)
+    order = np.lexsort((ids, hm))
     half = len(order) // 2
     a = np.stack(
         [np.asarray(signed["minhash"][i]) for i in order[:half]]
@@ -1237,6 +1245,73 @@ def random_pair_jaccard_hist(sf_dir, n_bins: int = 10):
         {
             "bin_lo": np.round(np.arange(n_bins) / n_bins, 2),
             "n_pairs": hist.astype("int64"),
+        }
+    )
+
+
+def random_pair_true_jaccard_hist(sf_dir, n_bins: int = 10):
+    """O2 twin (SQL-checked): EXACT 4-gram Jaccard histogram over the
+    same murmur-ranked deterministic pairs — cross-validates the
+    MinHash estimator histogram (pytest asserts est~true) and gives O2
+    an oracle row. Sets + pairing + histogram all run in Ray tasks; the
+    driver sees only the 10-bin result."""
+    from hmse_ray.functions import murmur3
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        out_sh, out_id = [], []
+        for i, txt in enumerate(t["text"].to_pylist()):
+            sh = textstats.char_ngram_set(txt or "")
+            out_sh.append(sh.astype(np.int64))
+            out_id.append(np.full(sh.size, ids[i], dtype=np.int64))
+        return pa.table(
+            {
+                "shingle": pa.array(np.concatenate(out_sh), pa.int64()),
+                "doc_id": pa.array(np.concatenate(out_id), pa.int64()),
+            }
+        )
+
+    sh_refs = docs.map_batches(shingle_rows, batch_format="pyarrow").to_arrow_refs()
+
+    @ray.remote
+    def _hist(*tables):
+        st = pa.concat_tables(tables).sort_by(
+            [("doc_id", "ascending"), ("shingle", "ascending")]
+        )
+        sdoc = st["doc_id"].to_numpy()
+        svals = st["shingle"].to_numpy()
+        n = len(sdoc)
+        counts = np.zeros(n_bins, dtype=np.int64)
+        if n:
+            new = np.empty(n, dtype=bool)
+            new[0] = True
+            new[1:] = sdoc[1:] != sdoc[:-1]
+            starts = np.nonzero(new)[0]
+            ids = sdoc[starts]
+            offs = np.append(starts, n)
+            hm = murmur3.murmur3_u32(ids.astype(np.uint32), CFG.sample_seed)
+            order = np.lexsort((ids, hm))
+            half = len(order) // 2
+            for k in range(half):
+                ia, ib = order[k], order[k + half]
+                sa = svals[offs[ia] : offs[ia + 1]]
+                sb = svals[offs[ib] : offs[ib + 1]]
+                if sb.size < sa.size:
+                    sa, sb = sb, sa
+                idx = np.searchsorted(sb, sa)
+                idx[idx == sb.size] = 0
+                inter = int(np.count_nonzero(sb[idx] == sa))
+                j = inter / max(1, sa.size + sb.size - inter)
+                counts[min(int(j * n_bins), n_bins - 1)] += 1
+        return counts
+
+    counts = ray.get(_hist.remote(*sh_refs))
+    return pd.DataFrame(
+        {
+            "bin_lo": np.round(np.arange(n_bins) / n_bins, 2),
+            "n_pairs": counts,
         }
     )
 
@@ -1396,6 +1471,60 @@ def _embedding_near_dups_sql() -> str:
           GROUP BY 1, 2
         )
         SELECT id_a, id_b, round(cosine, 6) AS cosine FROM dots WHERE cosine >= 0.98
+    """
+
+
+def _random_pair_true_jaccard_hist_sql() -> str:
+    """DuckDB mirror of random_pair_true_jaccard_hist: murmur3 rank
+    pairing (CTE chain) + byte-4-gram Jaccard per pair + 10-bin
+    histogram with empty bins kept."""
+    ctes, last = _mm_chain_sql(
+        "mr0", ["doc_id"], {"hm": ("mr0.key", int(CFG.sample_seed))}, "r"
+    )
+    return f"""
+        WITH mr0 AS (
+          SELECT doc_id, doc_id % {_MM_MASK} AS key FROM documents
+        ), {ctes}, ordd AS (
+          SELECT doc_id, row_number() OVER (ORDER BY hm, doc_id) - 1 AS r
+          FROM {last}
+        ), cnt AS (
+          SELECT count(*) // 2 AS half FROM documents
+        ), pairs AS (
+          SELECT a.doc_id AS ida, b.doc_id AS idb
+          FROM ordd a
+          JOIN ordd b ON b.r = a.r + (SELECT half FROM cnt)
+          WHERE a.r < (SELECT half FROM cnt)
+        ), pos AS (
+          SELECT doc_id, hex(encode(text)) AS th,
+                 unnest(generate_series(1, greatest(octet_length(encode(text)) - 3, 1))) AS i
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, substr(th, CAST((i - 1) * 2 + 1 AS INT), 8) AS g
+          FROM pos
+        ), card AS (
+          SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT p.ida, p.idb, count(*) AS cnt
+          FROM pairs p
+          JOIN sh s1 ON s1.doc_id = p.ida
+          JOIN sh s2 ON s2.doc_id = p.idb AND s2.g = s1.g
+          GROUP BY 1, 2
+        ), pj AS (
+          SELECT p.ida,
+                 coalesce(i.cnt, 0) / (ca.c + cb.c - coalesce(i.cnt, 0)) AS j
+          FROM pairs p
+          LEFT JOIN inter i ON i.ida = p.ida AND i.idb = p.idb
+          JOIN card ca ON ca.doc_id = p.ida
+          JOIN card cb ON cb.doc_id = p.idb
+        ), bins AS (
+          SELECT unnest(generate_series(0, 9)) AS b
+        )
+        SELECT round(b / 10.0, 2) AS bin_lo,
+               CAST(coalesce(cntp, 0) AS BIGINT) AS n_pairs
+        FROM bins LEFT JOIN (
+          SELECT least(CAST(floor(j * 10) AS INT), 9) AS b, count(*) AS cntp
+          FROM pj GROUP BY 1
+        ) h USING (b)
     """
 
 
@@ -1689,6 +1818,7 @@ ORACLES = {
     "doc_fingerprints": _winnow_fingerprint_sql(),
     "embedding_near_dups": _embedding_near_dups_sql(),
     "cdc_source_chunks": _cdc_source_chunks_sql(),
+    "random_pair_true_jaccard_hist": _random_pair_true_jaccard_hist_sql(),
 }
 
 QUERIES = {
@@ -1722,6 +1852,7 @@ QUERIES = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "decode_resize_features": decode_resize_features,
     "random_pair_jaccard_hist": random_pair_jaccard_hist,
+    "random_pair_true_jaccard_hist": random_pair_true_jaccard_hist,
     "lsh_hit_rate": lsh_hit_rate,
     "image_clusters": image_clusters,
 }

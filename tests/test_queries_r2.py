@@ -148,6 +148,25 @@ class TestCdcSourceChunks:
         assert df.groupby("source")["chunk_idx"].max().max() >= 1
 
 
+class TestPairHistograms:
+    def test_est_tracks_true_histogram(self, ray_session):
+        """Same murmur-rank pairing on both sides: the MinHash-estimate
+        histogram must roughly match the exact-Jaccard one (O2
+        estimator calibration)."""
+        from hmse_ray.pipelines.queries import (
+            random_pair_jaccard_hist,
+            random_pair_true_jaccard_hist,
+        )
+
+        est = random_pair_jaccard_hist(SF)
+        true = random_pair_true_jaccard_hist(SF)
+        assert est["n_pairs"].sum() == true["n_pairs"].sum() > 0
+        l1 = (est["n_pairs"] - true["n_pairs"]).abs().sum()
+        # estimator stderr ~1/sqrt(128)=0.09 vs 0.1-wide bins: allow
+        # boundary spill on up to half the pairs
+        assert l1 <= est["n_pairs"].sum()
+
+
 class TestCLI:
     def test_energy_json(self, capsys):
         from hmse_ray.run import main
