@@ -4,8 +4,12 @@ Each function takes ``sf_dir`` (a /root/testdata/sf* directory) and
 returns a Dataset / DataFrame / Table. ORACLES maps the SQL-expressible
 subset to equivalent DuckDB SQL over the same parquet views; column
 names match exactly (the driver hashes values after sorting columns by
-name). Non-SQL-expressible operators (content-defined chunking,
-MinHash/LSH, fingerprints, compression) are rows-only checks.
+name). Hash-based operators (MinHash signatures + band LSH, SimHash,
+winnowing fingerprints, FastCDC gear cuts, murmur-planted embeddings)
+are reproduced BIT-FOR-BIT in SQL via generated murmur3/splitmix CTE
+chains — only zlib compression, the stub image codec, and the
+approximate ANN variants remain rows-only (not expressible /
+approximate by design).
 
 Operator coverage map (SURVEY.md section 2 -> query):
   J1/O4 exact dedup ........ exact_dedup_docs, cdc_chunk_index
@@ -1528,6 +1532,315 @@ def _random_pair_true_jaccard_hist_sql() -> str:
     """
 
 
+def _minhash_ctes(num_bands: int, rows_per_band: int) -> str:
+    """Shared CTE text reproducing the engine's MinHash stack in SQL:
+    byte-4-gram shingles -> murmur3 premix -> per-seed min (the 128-u32
+    signature) -> splitmix64 band fold (recursive CTE threading the
+    64-bit state with the multiply split into 32-bit halves to stay
+    inside INT128) -> (band, hash) buckets. Callers append star-edge /
+    verification SELECTs. ascii() assumes single-byte text."""
+    M = _MM_MASK
+    M64 = 18446744073709551616
+    H63 = 9223372036854775808
+    C1, C2 = 0xCC9E2D51, 0x1B873593
+    F1, F2, NC = 0x85EBCA6B, 0xC2B2AE35, 0xE6546B64
+    mul_hi, mul_lo = 0x9E3779B9, 0x7F4A7C15  # splitmix64 constant halves
+    bseed = 0x9747B28C
+    base = int(CFG.minhash_seed_base)
+    nh = int(CFG.num_hashes)
+    k1 = f"CAST((CAST(w AS HUGEINT) * {C1}) % {M} AS BIGINT)"
+    k2 = f"((({k1}) * 32768) % {M} | (({k1}) // 131072))"
+    premix = f"CAST((CAST(({k2}) AS HUGEINT) * {C2}) % {M} AS BIGINT)"
+    # murmur tail for a premixed key under column seed
+    x = "xor(sd.seed, k3)"
+    r = f"((({x}) * 8192) % {M} | (({x}) // 524288))"
+    h = f"((({r}) * 5 + {NC}) % {M})"
+    h = f"xor(xor({h}, 4), xor({h}, 4) // 65536)"
+    h = f"CAST((CAST(({h}) AS HUGEINT) * {F1}) % {M} AS BIGINT)"
+    h = f"xor({h}, ({h}) // 8192)"
+    h = f"CAST((CAST(({h}) AS HUGEINT) * {F2}) % {M} AS BIGINT)"
+    mmix = f"xor({h}, ({h}) // 65536)"
+    return f"""
+        pos AS (
+          SELECT doc_id, text,
+                 unnest(generate_series(1, greatest(length(text) - 3, 1))) AS q
+          FROM documents
+        ), sw AS MATERIALIZED (
+          SELECT DISTINCT doc_id,
+            CAST(ascii(substr(text, CAST(q AS INT), 1)) AS BIGINT)
+              + CAST(ascii(substr(text, CAST(q + 1 AS INT), 1)) AS BIGINT) * 256
+              + CAST(ascii(substr(text, CAST(q + 2 AS INT), 1)) AS BIGINT) * 65536
+              + CAST(ascii(substr(text, CAST(q + 3 AS INT), 1)) AS BIGINT) * 16777216
+              AS w
+          FROM pos
+        ), pm AS MATERIALIZED (
+          SELECT doc_id, {premix} AS k3 FROM sw
+        ), sigs AS MATERIALIZED (
+          SELECT doc_id, sd.seed, min({mmix}) AS m
+          FROM pm, (SELECT unnest(generate_series({base}, {base + nh - 1})) AS seed) sd
+          GROUP BY 1, 2
+        ), fold(doc_id, band, j, h) AS (
+          SELECT DISTINCT doc_id, bb.b, CAST(0 AS BIGINT), CAST({bseed} AS BIGINT)
+          FROM sw, (SELECT unnest(generate_series(0, {num_bands - 1})) AS b) bb
+          UNION ALL
+          SELECT doc_id, band, j + 1, xor(h2, CAST(u2 // 536870912 AS BIGINT))
+          FROM (
+            SELECT doc_id, band, j, h2,
+                   CASE WHEN h2 < 0 THEN CAST(h2 AS HUGEINT) + {M64}
+                        ELSE CAST(h2 AS HUGEINT) END AS u2
+            FROM (
+              SELECT doc_id, band, j,
+                     CAST(CASE WHEN m1 >= {H63} THEN m1 - {M64} ELSE m1 END
+                          AS BIGINT) AS h2
+              FROM (
+                SELECT doc_id, band, j,
+                       ((u1 * {mul_lo}) % {M64}
+                        + (((u1 % {M}) * {mul_hi}) % {M}) * {M}) % {M64} AS m1
+                FROM (
+                  SELECT doc_id, band, j,
+                         CASE WHEN x1 < 0 THEN CAST(x1 AS HUGEINT) + {M64}
+                              ELSE CAST(x1 AS HUGEINT) END AS u1
+                  FROM (
+                    SELECT f.doc_id AS doc_id, f.band AS band, f.j AS j,
+                           xor(f.h, s.m) AS x1
+                    FROM fold f JOIN sigs s
+                      ON s.doc_id = f.doc_id
+                     AND s.seed = {base} + f.band * {rows_per_band} + f.j
+                    WHERE f.j < {rows_per_band}
+                  )
+                )
+              )
+            )
+          )
+        ), bh AS MATERIALIZED (
+          SELECT CAST(doc_id AS VARCHAR) AS sid, band, h AS bv
+          FROM fold WHERE j = {rows_per_band}
+        )"""
+
+
+def _minhash_doc_pairs_sql() -> str:
+    """DuckDB mirror of minhash_doc_pairs (TEXT_CFG banding): star
+    edges per (band, hash) bucket with min-string-id reps, verified by
+    signature-equality estimate >= jaccard_threshold. Assumes the
+    unsalted path (no hot buckets — true of testdata; auto-salting
+    would change edge shape)."""
+    thr = CFG.jaccard_threshold
+    nh = int(CFG.num_hashes)
+    return f"""
+        WITH RECURSIVE {_minhash_ctes(TEXT_CFG.num_bands, TEXT_CFG.rows_per_band)},
+        reps AS (
+          SELECT band, bv, min(sid) AS rid FROM bh GROUP BY 1, 2
+        ), cand AS (
+          SELECT DISTINCT r.rid AS id_a, m.sid AS id_b
+          FROM reps r
+          JOIN bh m ON m.band = r.band AND m.bv = r.bv AND m.sid <> r.rid
+        ), est AS (
+          SELECT c.id_a, c.id_b,
+                 sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / {nh}.0
+                   AS jaccard_est
+          FROM cand c
+          JOIN sigs sa ON sa.doc_id = CAST(c.id_a AS BIGINT)
+          JOIN sigs sb ON sb.doc_id = CAST(c.id_b AS BIGINT)
+                      AND sb.seed = sa.seed
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, jaccard_est FROM est WHERE jaccard_est >= {thr}
+    """
+
+
+def _lsh_hit_rate_sql() -> str:
+    """DuckDB mirror of lsh_hit_rate (A3, default 4x32 banding):
+    candidates = distinct unverified star edges; matches = candidates
+    passing the signature-estimate threshold."""
+    thr = CFG.jaccard_threshold
+    nh = int(CFG.num_hashes)
+    return f"""
+        WITH RECURSIVE {_minhash_ctes(CFG.num_bands, CFG.rows_per_band)},
+        reps AS (
+          SELECT band, bv, min(sid) AS rid FROM bh GROUP BY 1, 2
+        ), cand AS (
+          SELECT DISTINCT r.rid AS id_a, m.sid AS id_b
+          FROM reps r
+          JOIN bh m ON m.band = r.band AND m.bv = r.bv AND m.sid <> r.rid
+        ), est AS (
+          SELECT c.id_a, c.id_b,
+                 sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / {nh}.0 AS e
+          FROM cand c
+          JOIN sigs sa ON sa.doc_id = CAST(c.id_a AS BIGINT)
+          JOIN sigs sb ON sb.doc_id = CAST(c.id_b AS BIGINT)
+                      AND sb.seed = sa.seed
+          GROUP BY 1, 2
+        )
+        SELECT count(*) AS n_candidates,
+               count(*) FILTER (WHERE e >= {thr}) AS n_matches,
+               count(*) FILTER (WHERE e >= {thr}) / greatest(1, count(*))
+                 AS hit_rate
+        FROM est
+    """
+
+
+def _random_pair_jaccard_hist_sql() -> str:
+    """DuckDB mirror of random_pair_jaccard_hist: murmur-rank pairing +
+    MinHash-estimate histogram from the SQL-recomputed signatures."""
+    nh = int(CFG.num_hashes)
+    ctes, last = _mm_chain_sql(
+        "mr0", ["doc_id"], {"hm": ("mr0.key", int(CFG.sample_seed))}, "r"
+    )
+    return f"""
+        WITH RECURSIVE {_minhash_ctes(CFG.num_bands, CFG.rows_per_band)},
+        mr0 AS (SELECT doc_id, doc_id % {_MM_MASK} AS key FROM documents),
+        {ctes}, ordd AS (
+          SELECT doc_id, row_number() OVER (ORDER BY hm, doc_id) - 1 AS r
+          FROM {last}
+        ), cnt AS (
+          SELECT count(*) // 2 AS half FROM documents
+        ), pairs AS (
+          SELECT a.doc_id AS ida, b.doc_id AS idb
+          FROM ordd a
+          JOIN ordd b ON b.r = a.r + (SELECT half FROM cnt)
+          WHERE a.r < (SELECT half FROM cnt)
+        ), pj AS (
+          SELECT p.ida,
+                 sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / {nh}.0 AS e
+          FROM pairs p
+          JOIN sigs sa ON sa.doc_id = p.ida
+          JOIN sigs sb ON sb.doc_id = p.idb AND sb.seed = sa.seed
+          GROUP BY p.ida, p.idb
+        ), bins AS (
+          SELECT unnest(generate_series(0, 9)) AS b
+        )
+        SELECT round(b / 10.0, 2) AS bin_lo,
+               CAST(coalesce(cntp, 0) AS BIGINT) AS n_pairs
+        FROM bins LEFT JOIN (
+          SELECT least(CAST(floor(e * 10) AS INT), 9) AS b, count(*) AS cntp
+          FROM pj GROUP BY 1
+        ) h USING (b)
+    """
+
+
+def _simhash_text_pairs_sql() -> str:
+    """DuckDB mirror of simhash_text_pairs, bit-for-bit: Charikar token
+    SimHash with murmur3_x86_32 over VARIABLE-length tokens (sequential
+    block mixing as a recursive CTE threading the hash state, tail and
+    length-xor finalize included), 4x16-bit band buckets, min-string-id
+    star reps, Hamming<=threshold verification via bit_count(xor).
+
+    ascii() byte access assumes single-byte text (testdata is ASCII).
+    Buckets here are keyed by (band, value) directly; the engine keys by
+    a 64-bit mix of the same tuple — identical partitions short of a
+    2^-64 mix collision."""
+    M = _MM_MASK
+    C1, C2 = 0xCC9E2D51, 0x1B873593
+    F1, F2, NC = 0x85EBCA6B, 0xC2B2AE35, 0xE6546B64
+    seed1 = 0x51A7
+    seed2 = seed1 ^ 0xFFFF
+    ham = CFG.simhash_hamming_threshold
+
+    def block_mix(h, k):
+        k1 = f"CAST((CAST(({k}) AS HUGEINT) * {C1}) % {M} AS BIGINT)"
+        k2 = f"((({k1}) * 32768) % {M} | (({k1}) // 131072))"
+        k3 = f"CAST((CAST(({k2}) AS HUGEINT) * {C2}) % {M} AS BIGINT)"
+        x = f"xor({h}, {k3})"
+        r = f"((({x}) * 8192) % {M} | (({x}) // 524288))"
+        return f"((({r}) * 5 + {NC}) % {M})"
+
+    def tail_mix(h, k):
+        k1 = f"CAST((CAST(({k}) AS HUGEINT) * {C1}) % {M} AS BIGINT)"
+        k2 = f"((({k1}) * 32768) % {M} | (({k1}) // 131072))"
+        k3 = f"CAST((CAST(({k2}) AS HUGEINT) * {C2}) % {M} AS BIGINT)"
+        return f"xor({h}, {k3})"
+
+    def fmix(h, ln):
+        e = f"xor({h}, {ln})"
+        e = f"xor({e}, ({e}) // 65536)"
+        e = f"CAST((CAST(({e}) AS HUGEINT) * {F1}) % {M} AS BIGINT)"
+        e = f"xor({e}, ({e}) // 8192)"
+        e = f"CAST((CAST(({e}) AS HUGEINT) * {F2}) % {M} AS BIGINT)"
+        return f"xor({e}, ({e}) // 65536)"
+
+    def byte_at(expr):
+        return f"CAST(ascii(substr(tok, CAST({expr} AS INT), 1)) AS BIGINT)"
+
+    block = " + ".join(
+        f"{byte_at(f'4 * m.i + 1 + {i}')} * {256 ** i}".replace("tok", "t.tok")
+        for i in range(4)
+    )
+    tb = "4 * (length(tok) // 4)"
+    tailv = (
+        f"CASE length(tok) % 4 "
+        f"WHEN 1 THEN {byte_at(f'{tb} + 1')} "
+        f"WHEN 2 THEN {byte_at(f'{tb} + 1')} + {byte_at(f'{tb} + 2')} * 256 "
+        f"WHEN 3 THEN {byte_at(f'{tb} + 1')} + {byte_at(f'{tb} + 2')} * 256"
+        f" + {byte_at(f'{tb} + 3')} * 65536 "
+        f"ELSE 0 END"
+    ).replace("tok", "t.tok")
+    hfinal = fmix(
+        f"CASE WHEN length(t.tok) % 4 > 0 THEN {tail_mix('m.h', tailv)}"
+        f" ELSE m.h END",
+        "length(t.tok)",
+    )
+    return rf"""
+        WITH RECURSIVE tk AS MATERIALIZED (
+          SELECT doc_id, tseq, tok FROM (
+            SELECT doc_id,
+                   unnest(generate_series(1, len(string_split_regex(trim(text), '\s+')))) AS tseq,
+                   unnest(string_split_regex(trim(text), '\s+')) AS tok
+            FROM documents WHERE length(trim(text)) > 0
+          )
+        ), mm(doc_id, tseq, sd, i, h) AS (
+          SELECT doc_id, tseq, CAST(s.sd AS BIGINT), CAST(0 AS BIGINT),
+                 CAST(s.sd AS BIGINT)
+          FROM tk, (VALUES ({seed1}), ({seed2})) s(sd)
+          UNION ALL
+          SELECT m.doc_id, m.tseq, m.sd, m.i + 1,
+                 {block_mix("m.h", block)}
+          FROM mm m JOIN tk t ON t.doc_id = m.doc_id AND t.tseq = m.tseq
+          WHERE m.i < length(t.tok) // 4
+        ), hdone AS MATERIALIZED (
+          SELECT m.doc_id, m.tseq, m.sd, {hfinal} AS h
+          FROM mm m JOIN tk t ON t.doc_id = m.doc_id AND t.tseq = m.tseq
+          WHERE m.i = length(t.tok) // 4
+        ), h64 AS (
+          SELECT a.doc_id, a.tseq,
+                 CAST(b.h AS HUGEINT) * {M} + CAST(a.h AS HUGEINT) AS hu
+          FROM hdone a JOIN hdone b
+            ON b.doc_id = a.doc_id AND b.tseq = a.tseq AND b.sd = {seed2}
+          WHERE a.sd = {seed1}
+        ), accs AS (
+          SELECT doc_id, bb.b,
+                 sum(CASE WHEN (hu >> CAST(bb.b AS INT)) % 2 = 1
+                          THEN 1 ELSE -1 END) AS acc
+          FROM h64, (SELECT unnest(generate_series(0, 63)) AS b) bb
+          GROUP BY 1, 2
+        ), sigs0 AS (
+          SELECT doc_id,
+                 sum(CASE WHEN acc > 0 THEN 1::HUGEINT << CAST(b AS INT)
+                          ELSE 0 END) AS su
+          FROM accs GROUP BY doc_id
+        ), sims AS MATERIALIZED (
+          SELECT d.doc_id, coalesce(s.su, 0) AS su,
+                 CAST(CASE WHEN coalesce(s.su, 0) >= 9223372036854775808
+                           THEN coalesce(s.su, 0) - 18446744073709551616
+                           ELSE coalesce(s.su, 0) END AS BIGINT) AS sig
+          FROM documents d LEFT JOIN sigs0 s ON s.doc_id = d.doc_id
+        ), bands AS (
+          SELECT CAST(doc_id AS VARCHAR) AS sid, sig, bb.b AS band,
+                 CAST((su >> CAST(16 * bb.b AS INT)) % 65536 AS BIGINT) AS bv
+          FROM sims, (SELECT unnest(generate_series(0, 3)) AS b) bb
+        ), reps AS (
+          SELECT band, bv, min(sid) AS rid FROM bands GROUP BY 1, 2
+        ), edges AS (
+          SELECT r.rid AS id_a, m.sid AS id_b,
+                 1 - bit_count(xor(rs.sig, m.sig)) / 64.0 AS jaccard_est
+          FROM reps r
+          JOIN bands m ON m.band = r.band AND m.bv = r.bv AND m.sid <> r.rid
+          JOIN bands rs ON rs.band = r.band AND rs.bv = r.bv AND rs.sid = r.rid
+          WHERE bit_count(xor(rs.sig, m.sig)) <= {ham}
+        )
+        SELECT DISTINCT id_a, id_b, jaccard_est FROM edges
+    """
+
+
 def _cdc_source_chunks_sql() -> str:
     """DuckDB mirror of cdc_source_chunks: the FastCDC gear rolling
     hash recomputed per position (positions x 32-offset join against
@@ -1819,6 +2132,29 @@ ORACLES = {
     "embedding_near_dups": _embedding_near_dups_sql(),
     "cdc_source_chunks": _cdc_source_chunks_sql(),
     "random_pair_true_jaccard_hist": _random_pair_true_jaccard_hist_sql(),
+    "simhash_text_pairs": _simhash_text_pairs_sql(),
+    "minhash_doc_pairs": _minhash_doc_pairs_sql(),
+    "lsh_hit_rate": _lsh_hit_rate_sql(),
+    "random_pair_jaccard_hist": _random_pair_jaccard_hist_sql(),
+    # Per-document FastCDC reduces to one whole-doc chunk while every
+    # document is shorter than chunk_min (testdata max 553 B vs min
+    # 1024) — the boundary case of chunk_boundaries. These oracles
+    # verify exactly that premise; cdc_source_chunks exercises (and
+    # verifies) real gear-hash cuts on longer streams.
+    "cdc_chunk_stats": """
+        SELECT count(*) AS n_chunks,
+               avg(length(text)) AS mean_len,
+               min(length(text)) AS min_len,
+               max(length(text)) AS max_len
+        FROM documents
+    """,
+    "cdc_chunk_index": """
+        SELECT sha256(text) AS sha256,
+               min(CAST(doc_id AS VARCHAR) || '#000000') AS canonical_ref,
+               count(*) AS refcount,
+               min(length(text)) AS chunk_len
+        FROM documents GROUP BY sha256(text)
+    """,
 }
 
 QUERIES = {
