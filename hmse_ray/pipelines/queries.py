@@ -1019,9 +1019,16 @@ def exact_jaccard_pairs(docs, threshold: float = 0.7):
         return t.append_column("df", pa.array(df, pa.int64()))
 
     def prefix_part(t: pa.Table) -> pa.Table:
-        """Per-doc prefix (rarest-first token order)."""
+        """Per-doc prefix (rarest-first token order), carrying set size
+        and in-prefix position for the PPJoin length/positional
+        filters."""
         empty = pa.table(
-            {"shingle": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64())}
+            {
+                "shingle": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "m": pa.array([], pa.int64()),
+                "p": pa.array([], pa.int64()),
+            }
         )
         if t.num_rows == 0:
             return empty
@@ -1039,16 +1046,30 @@ def exact_jaccard_pairs(docs, threshold: float = 0.7):
         within = np.arange(n) - np.repeat(starts, sizes)
         keep = within < np.repeat(lpref, sizes)
         kept = t.filter(pa.array(keep))
-        return kept.select(["shingle", "doc_id"])
+        return pa.table(
+            {
+                "shingle": kept["shingle"],
+                "doc_id": kept["doc_id"],
+                "m": pa.array(np.repeat(sizes, sizes)[keep], pa.int64()),
+                "p": pa.array(within[keep] + 1, pa.int64()),
+            }
+        )
 
     def pairs_part(t: pa.Table) -> pa.Table:
-        """All pairs within each shingle group (candidates)."""
+        """Candidate pairs within each shingle group, pruned by the
+        PPJoin filters (both exactness-preserving):
+        - length filter: j(A,B) <= min(m)/max(m), so skip pairs with
+          min(ma,mb) < t*max(ma,mb);
+        - positional filter: overlap(A,B) <= 1 + min(ma-pa, mb-pb), and
+          j>=t requires overlap >= ceil(t/(1+t)*(ma+mb))."""
         empty = pa.table({"pairkey": pa.array([], pa.int64())})
         if t.num_rows == 0:
             return empty
         t = t.sort_by([("shingle", "ascending"), ("doc_id", "ascending")])
         sh = t["shingle"].to_numpy()
         ids = t["doc_id"].to_numpy()
+        ms = t["m"].to_numpy()
+        ps = t["p"].to_numpy()
         n = len(sh)
         new = np.empty(n, dtype=bool)
         new[0] = True
@@ -1060,8 +1081,15 @@ def exact_jaccard_pairs(docs, threshold: float = 0.7):
             if m < 2:
                 continue
             iu, ju = np.triu_indices(m, 1)
-            g = ids[s:e]
-            keys.append((g[iu] << np.int64(32)) | g[ju])  # ids sorted: lo<<32|hi
+            g, gm, gp = ids[s:e], ms[s:e], ps[s:e]
+            ma, mb = gm[iu], gm[ju]
+            alpha = np.ceil(threshold / (1.0 + threshold) * (ma + mb))
+            ok = (
+                (np.minimum(ma, mb) >= threshold * np.maximum(ma, mb))
+                & (1 + np.minimum(ma - gp[iu], mb - gp[ju]) >= alpha)
+            )
+            if ok.any():
+                keys.append((g[iu[ok]] << np.int64(32)) | g[ju[ok]])
         if not keys:
             return empty
         return pa.table({"pairkey": pa.array(np.concatenate(keys), pa.int64())})
