@@ -52,10 +52,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for the SQL-expressible subset of queries().
 
-    Operators whose semantics are not ANSI-SQL-expressible (content-
-    defined chunking, MinHash/LSH, winnowing fingerprints, zlib
-    compression, heuristic language ID, LSH-bucketed ANN) are omitted ->
-    the driver records rows-only checks for them.
+    Hash-based operators (MinHash signatures + band LSH, SimHash over
+    variable-length tokens, winnowing fingerprints, FastCDC gear cuts,
+    murmur-planted embeddings) are reproduced bit-for-bit via generated
+    murmur3/splitmix CTE chains (queries.py:_mm_chain_sql and friends).
+    Only zlib compression, the stub image codec, and the approximate
+    ANN variants are omitted -> the driver records rows-only checks for
+    those.
     """
     from hmse_ray.pipelines.queries import ORACLES
 
