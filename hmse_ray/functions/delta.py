@@ -157,12 +157,24 @@ def delta_encode(base: bytes, target: bytes, cfg: Config = DEFAULT_CONFIG) -> by
 
 
 def delta_apply(base: bytes, delta: bytes) -> bytes:
-    """Reconstruct target from (base, delta) — read-path M8."""
+    """Reconstruct target from (base, delta) — read-path M8.
+
+    Format (since round 3 / ADVICE r2): byte 0 is a tag — 0x01 zdict
+    stream follows, 0x02 copy/insert op stream follows. Blobs written
+    by the round-1 UNTAGGED zdict encoder start with the zlib header
+    0x78 and are decompressed WHOLE as a legacy fallback, so stores
+    persisted before the tag was introduced remain readable; any other
+    leading byte is a corrupt delta and raises."""
     tag, blob = delta[:1], delta[1:]
     if tag == _TAG_OPS:
         return _apply_ops(base, blob)
-    d = zlib.decompressobj(15, base)
-    return d.decompress(blob) + d.flush()
+    if tag == _TAG_ZDICT:
+        d = zlib.decompressobj(15, base)
+        return d.decompress(blob) + d.flush()
+    if tag == b"\x78":  # legacy untagged zdict stream (zlib header)
+        d = zlib.decompressobj(15, base)
+        return d.decompress(delta) + d.flush()
+    raise ValueError(f"unknown delta format tag {delta[:1]!r}")
 
 
 def choose_store_kind(

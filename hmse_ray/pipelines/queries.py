@@ -918,17 +918,203 @@ def minhash_doc_pairs(sf_dir):
     return lsh.candidate_pairs(mh, TEXT_CFG)
 
 
+def _shingle_rows(t: pa.Table) -> pa.Table:
+    """(doc_id, text) batch -> exploded (shingle, doc_id) rows, one per
+    DISTINCT byte-4-gram per doc. Ids are asserted < 2^31 so packed
+    (id_a << 32) | id_b pair keys stay exact in signed int64 (ADVICE r2:
+    fail loudly instead of silently aliasing at the design scale)."""
+    ids = t["doc_id"].to_numpy()
+    if ids.size and (ids.min() < 0 or ids.max() >= _PACK_ID_LIMIT):
+        raise ValueError(
+            f"doc_id outside [0, 2^31): {ids.min()}..{ids.max()} — packed "
+            "int64 pair keys would alias; re-key the corpus first"
+        )
+    out_sh, out_id = [], []
+    for i, txt in enumerate(t["text"].to_pylist()):
+        sh = textstats.char_ngram_set(txt or "")  # sorted unique u32
+        out_sh.append(sh.astype(np.int64))
+        out_id.append(np.full(sh.size, ids[i], dtype=np.int64))
+    if not out_sh:
+        return pa.table(
+            {"shingle": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64())}
+        )
+    return pa.table(
+        {
+            "shingle": pa.array(np.concatenate(out_sh), pa.int64()),
+            "doc_id": pa.array(np.concatenate(out_id), pa.int64()),
+        }
+    )
+
+
+_PACK_ID_LIMIT = 1 << 31
+
+_EMPTY_PAIRS = pa.table(
+    {
+        "id_a": pa.array([], pa.int64()),
+        "id_b": pa.array([], pa.int64()),
+        "jaccard": pa.array([], pa.float64()),
+    }
+)
+
+
+def exact_verify_edges(docs, edges, threshold: float):
+    """SHUFFLE-JOIN exact verification (VERDICT r2 item 2): candidate
+    edges (id_a, id_b strings) + (doc_id, text) docs -> pairs with TRUE
+    byte-4-gram Jaccard >= threshold. No broadcast CSR index, no
+    per-pair Python loop — the 100-TB shape from the exact_jaccard_pairs
+    docstring, as three narrow int64 shuffles:
+
+      1. pairkey-partitioned np.unique  -> globally deduped pairs;
+      2. doc_id-partitioned join of per-pair membership requests with
+         exploded shingle rows -> (pairkey, shingle) rows;
+      3. pairkey-partitioned run-length count: a shingle value occurs
+         once (one side) or twice (intersection) within a pair, so
+         inter = #dup runs, |A|+|B| = group size, all vectorized.
+    """
+    from hmse_ray.stages.aggregates import hash_partitioned_groupby_arrow
+
+    def pack(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"pairkey": pa.array([], pa.int64())})
+        a = pc.cast(t["id_a"], pa.int64()).to_numpy()
+        b = pc.cast(t["id_b"], pa.int64()).to_numpy()
+        if a.size and (
+            min(a.min(), b.min()) < 0 or max(a.max(), b.max()) >= _PACK_ID_LIMIT
+        ):
+            raise ValueError("edge id outside [0, 2^31): packed keys would alias")
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        pk = np.unique((lo << np.int64(32)) | hi)  # per-batch pre-dedup
+        return pa.table({"pairkey": pa.array(pk, pa.int64())})
+
+    def uniq_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"pairkey": pa.array([], pa.int64())})
+        return pa.table(
+            {"pairkey": pa.array(np.unique(t["pairkey"].to_numpy()), pa.int64())}
+        )
+
+    pairs = hash_partitioned_groupby_arrow(
+        edges.map_batches(pack, batch_format="pyarrow"), "pairkey", uniq_part
+    )
+
+    def requests(t: pa.Table) -> pa.Table:
+        """Two (doc_id, pairkey) membership requests per pair; shingle
+        rows ride the same schema with pairkey = -1 - shingle (< 0)."""
+        pk = t["pairkey"].to_numpy()
+        a = (pk >> np.int64(32)).astype(np.int64)
+        b = (pk & np.int64(0xFFFFFFFF)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([a, b]), pa.int64()),
+                "pairkey": pa.array(np.concatenate([pk, pk]), pa.int64()),
+            }
+        )
+
+    def sh_rows(t: pa.Table) -> pa.Table:
+        s = _shingle_rows(t)
+        return pa.table(
+            {
+                "doc_id": s["doc_id"],
+                "pairkey": pc.subtract(pa.scalar(-1, pa.int64()), s["shingle"]),
+            }
+        )
+
+    mixed = pairs.map_batches(requests, batch_format="pyarrow").union(
+        docs.map_batches(sh_rows, batch_format="pyarrow")
+    )
+
+    def join_part(t: pa.Table) -> pa.Table:
+        """One doc_id partition: emit (pairkey, shingle) for every
+        request x that doc's shingles (vectorized repeat/tile)."""
+        empty = pa.table(
+            {"pairkey": pa.array([], pa.int64()), "shingle": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        pk = t["pairkey"].to_numpy()
+        doc = t["doc_id"].to_numpy()
+        is_req = pk >= 0
+        if not is_req.any() or is_req.all():
+            return empty
+        rdoc, rpk = doc[is_req], pk[is_req]
+        sdoc, sval = doc[~is_req], (-1 - pk[~is_req])
+        order = np.argsort(sdoc, kind="stable")
+        sdoc, sval = sdoc[order], sval[order]
+        lo = np.searchsorted(sdoc, rdoc, side="left")
+        hi = np.searchsorted(sdoc, rdoc, side="right")
+        cnt = hi - lo
+        if cnt.sum() == 0:
+            return empty
+        out_pk = np.repeat(rpk, cnt)
+        idx = np.concatenate([np.arange(l, h) for l, h in zip(lo, hi) if h > l])
+        return pa.table(
+            {
+                "pairkey": pa.array(out_pk, pa.int64()),
+                "shingle": pa.array(sval[idx], pa.int64()),
+            }
+        )
+
+    joined = hash_partitioned_groupby_arrow(mixed, "doc_id", join_part)
+
+    def verify_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EMPTY_PAIRS
+        t = t.sort_by([("pairkey", "ascending"), ("shingle", "ascending")])
+        pk = t["pairkey"].to_numpy()
+        sv = t["shingle"].to_numpy()
+        n = len(pk)
+        newp = np.empty(n, dtype=bool)
+        newp[0] = True
+        newp[1:] = pk[1:] != pk[:-1]
+        starts = np.nonzero(newp)[0]
+        sizes = np.diff(np.append(starts, n))
+        dup = np.zeros(n, dtype=bool)
+        dup[1:] = (sv[1:] == sv[:-1]) & ~newp[1:]
+        inter = np.add.reduceat(dup.astype(np.int64), starts)
+        union = sizes - inter
+        j = inter / np.maximum(1, union)
+        keep = j >= threshold
+        if not keep.any():
+            return _EMPTY_PAIRS
+        kp = pk[starts][keep]
+        return pa.table(
+            {
+                "id_a": pa.array((kp >> np.int64(32)).astype(np.int64), pa.int64()),
+                "id_b": pa.array((kp & np.int64(0xFFFFFFFF)).astype(np.int64)),
+                "jaccard": pa.array(np.round(j[keep], 6), pa.float64()),
+            }
+        )
+
+    return hash_partitioned_groupby_arrow(joined, "pairkey", verify_part)
+
+
 def doc_clusters(sf_dir, threshold: float = 0.8):
     """Near-dup cluster assignment over documents (SQL-checked).
 
-    Edges are EXACT-Jaccard >= threshold pairs from the prefix-filter
-    self-join (guaranteed recall), so the DuckDB connected-components
-    oracle is sound by construction. The MinHash-LSH edge path is
-    exercised by minhash_doc_pairs and the image flagship."""
-    from hmse_ray.stages import clustering
+    VERDICT r2 item 2 shape: edges come from MinHash-LSH banding
+    (TEXT_CFG 16x8 — measured recall 1.0 vs the exact prefix-filter
+    join on this corpus, pinned by test_doc_clusters_lsh_recall), then
+    EXACT-Jaccard >= threshold verification via the shuffle join
+    (exact_verify_edges — no broadcast index, no per-pair loop), then
+    connected components. Candidate volume is ~linear in corpus size
+    (LSH buckets) instead of the prefix filter's all-pairs blowup on
+    high-background-similarity corpora; the DuckDB oracle reproduces
+    the SAME banding bit-for-bit, so the hash check stays sound
+    independent of LSH recall. The exact prefix-filter join remains
+    available as the bounded audit tool (ngram_jaccard_pairs)."""
+    from hmse_ray.stages import clustering, lsh, signatures
 
-    docs = _docs(sf_dir, ["doc_id", "text"])
-    edges = exact_jaccard_pairs(docs, threshold).map_batches(
+    docs = _docs(sf_dir, ["doc_id", "text"]).materialize()
+    as_caps = docs.map_batches(
+        lambda t: pa.table(
+            {"image_id": pc.cast(t["doc_id"], pa.string()), "caption": t["text"]}
+        ),
+        batch_format="pyarrow",
+    )
+    signed = signatures.minhash_stage(as_caps, TEXT_CFG).materialize()
+    cand = lsh.candidate_edges(signed, TEXT_CFG, edge_shape="all")
+    edges = exact_verify_edges(docs, cand, threshold).map_batches(
         lambda t: pa.table(
             {
                 "src": pc.cast(t["id_a"], pa.string()),
@@ -992,19 +1178,7 @@ def exact_jaccard_pairs(docs, threshold: float = 0.7):
     """
     from hmse_ray.stages.aggregates import hash_partitioned_groupby_arrow
 
-    def shingle_rows(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy()
-        out_sh, out_id = [], []
-        for i, txt in enumerate(t["text"].to_pylist()):
-            sh = textstats.char_ngram_set(txt or "")  # sorted unique u32
-            out_sh.append(sh.astype(np.int64))
-            out_id.append(np.full(sh.size, ids[i], dtype=np.int64))
-        return pa.table(
-            {
-                "shingle": pa.array(np.concatenate(out_sh), pa.int64()),
-                "doc_id": pa.array(np.concatenate(out_id), pa.int64()),
-            }
-        )
+    shingle_rows = _shingle_rows
 
     def df_part(t: pa.Table) -> pa.Table:
         """Attach per-shingle document frequency (global: partitioned
@@ -1707,6 +1881,56 @@ def _minhash_doc_pairs_sql() -> str:
     """
 
 
+def _doc_clusters_sql() -> str:
+    """DuckDB mirror of doc_clusters: TEXT_CFG (16x8) MinHash banding
+    star candidates (same CTEs as _minhash_doc_pairs_sql), EXACT
+    byte-4-gram Jaccard >= 0.8 verification over candidates only, then
+    recursive-CTE connected components with min-string-member labels.
+    Assumes the unsalted banding path (no hot buckets — true of
+    testdata, same premise as the minhash oracle)."""
+    return f"""
+        WITH RECURSIVE {_minhash_ctes(TEXT_CFG.num_bands, TEXT_CFG.rows_per_band)},
+        cand AS (
+          SELECT DISTINCT
+                 least(CAST(x.sid AS BIGINT), CAST(y.sid AS BIGINT)) AS a,
+                 greatest(CAST(x.sid AS BIGINT), CAST(y.sid AS BIGINT)) AS b
+          FROM bh x
+          JOIN bh y ON y.band = x.band AND y.bv = x.bv AND x.sid < y.sid
+        ), bpos AS (
+          SELECT doc_id, hex(encode(text)) AS th,
+                 unnest(generate_series(1, greatest(octet_length(encode(text)) - 3, 1))) AS i
+          FROM documents
+        ), bsh AS MATERIALIZED (
+          SELECT DISTINCT doc_id, substr(th, CAST((i - 1) * 2 + 1 AS INT), 8) AS g
+          FROM bpos
+        ), card AS (
+          SELECT doc_id, count(*) AS c FROM bsh GROUP BY doc_id
+        ), inter AS (
+          SELECT cp.a, cp.b, count(*) AS cnt
+          FROM cand cp
+          JOIN bsh s1 ON s1.doc_id = cp.a
+          JOIN bsh s2 ON s2.doc_id = cp.b AND s2.g = s1.g
+          GROUP BY 1, 2
+        ), e0 AS (
+          SELECT a, b FROM inter
+          JOIN card ca ON ca.doc_id = a JOIN card cb ON cb.doc_id = b
+          WHERE cnt / (ca.c + cb.c - cnt) >= 0.8
+        ), edges AS (
+          SELECT CAST(a AS VARCHAR) AS u, CAST(b AS VARCHAR) AS v FROM e0
+          UNION SELECT CAST(b AS VARCHAR), CAST(a AS VARCHAR) FROM e0
+        ), reach(u, v) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        ), lbl AS (
+          SELECT u, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+        )
+        SELECT CAST(d.doc_id AS VARCHAR) AS image_id,
+               coalesce(l.cluster_id, CAST(d.doc_id AS VARCHAR)) AS cluster_id
+        FROM documents d LEFT JOIN lbl l ON l.u = CAST(d.doc_id AS VARCHAR)
+    """
+
+
 def _lsh_hit_rate_sql() -> str:
     """DuckDB mirror of lsh_hit_rate (A3, default 4x32 banding):
     candidates = distinct unverified star edges; matches = candidates
@@ -2090,40 +2314,13 @@ ORACLES = {
         WHERE cnt / (ca.c + cb.c - cnt) >= 0.7
     """,
     # Connected components (min-member label, string compare — matching
-    # components_unionfind) over TRUE-Jaccard >= 0.8 edges. Sound: the
-    # pipeline's edges are prefix-filter exact-Jaccard pairs with
-    # guaranteed recall, so both sides compute the same edge set.
-    "doc_clusters": """
-        WITH RECURSIVE pos AS (
-          SELECT doc_id, hex(encode(text)) AS th,
-                 unnest(generate_series(1, greatest(octet_length(encode(text)) - 3, 1))) AS i
-          FROM documents
-        ), sh AS (
-          SELECT DISTINCT doc_id, substr(th, CAST((i - 1) * 2 + 1 AS INT), 8) AS g FROM pos
-        ), card AS (
-          SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id
-        ), inter AS (
-          SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS cnt
-          FROM sh s1 JOIN sh s2 ON s1.g = s2.g AND s1.doc_id < s2.doc_id
-          GROUP BY 1, 2
-        ), e0 AS (
-          SELECT a, b FROM inter
-          JOIN card ca ON ca.doc_id = a JOIN card cb ON cb.doc_id = b
-          WHERE cnt / (ca.c + cb.c - cnt) >= 0.8
-        ), edges AS (
-          SELECT CAST(a AS VARCHAR) AS u, CAST(b AS VARCHAR) AS v FROM e0
-          UNION SELECT CAST(b AS VARCHAR), CAST(a AS VARCHAR) FROM e0
-        ), reach(u, v) AS (
-          SELECT u, v FROM edges
-          UNION
-          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
-        ), lbl AS (
-          SELECT u, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
-        )
-        SELECT CAST(d.doc_id AS VARCHAR) AS image_id,
-               coalesce(l.cluster_id, CAST(d.doc_id AS VARCHAR)) AS cluster_id
-        FROM documents d LEFT JOIN lbl l ON l.u = CAST(d.doc_id AS VARCHAR)
-    """,
+    # components_unionfind) over the pipeline's ACTUAL edge set:
+    # MinHash-LSH (TEXT_CFG 16x8) star candidates reproduced bit-for-bit
+    # via _minhash_ctes, then EXACT byte-4-gram Jaccard >= 0.8
+    # verification — so the hash check is sound independent of LSH
+    # recall (recall vs the prefix-filter exact join is pinned
+    # separately in tests).
+    "doc_clusters": _doc_clusters_sql(),
     # Stopword-vote language ID: DISTINCT lowercase whitespace tokens,
     # votes per language, argmax with en>de>fr>es tie priority
     # (matching the STOPWORDS dict insertion order argmax).

@@ -282,6 +282,52 @@ def _star_ids_partition(t: pa.Table) -> pa.Table:
     )
 
 
+def _allpairs_partition(t: pa.Table) -> pa.Table:
+    """One hash partition of (image_id, bucket[, parent]) rows -> ALL
+    within-bucket unverified pairs (plus rep rows for salted groups,
+    star-shaped as before). Used when verification is EXACT (doc
+    clustering): star edges can structurally miss a true member-member
+    pair whose bucket rep fails verification, while all-pairs recall
+    within a bucket is total. C(m,2) per bucket is bounded because
+    salting caps bucket size at cfg.max_bucket_size."""
+    has_parent = "parent" in t.schema.names
+    if t.num_rows == 0:
+        return _EMPTY_MIXED if has_parent else _EMPTY_MIXED.drop_columns(["parent"])
+    t, rep_idx, starts = _sorted_with_reps(t)
+    n = t.num_rows
+    ids = _combine(t["image_id"])
+    sizes = np.diff(np.append(starts, n))
+    ia, ib = [], []
+    for s, m in zip(starts, sizes):
+        if m < 2:
+            continue
+        iu, ju = np.triu_indices(int(m), 1)
+        ia.append(s + iu)
+        ib.append(s + ju)
+    if ia:
+        cat = np.concatenate(ia)
+        id_a = ids.take(pa.array(cat, pa.int64()))
+        id_b = ids.take(pa.array(np.concatenate(ib), pa.int64()))
+    else:
+        id_a = pa.array([], pa.string())
+        id_b = pa.array([], pa.string())
+    if not has_parent:
+        return pa.table({"id_a": id_a, "id_b": id_b})
+    par = _combine(t["parent"])
+    valid = np.asarray(par.is_valid())
+    sel = starts[valid[starts]]
+    m = len(sel)
+    return pa.table(
+        {
+            "id_a": pa.concat_arrays([id_a, ids.take(pa.array(sel, pa.int64()))]),
+            "id_b": pa.concat_arrays([id_b, pa.array([""] * m, pa.string())]),
+            "parent": pa.concat_arrays(
+                [pa.nulls(len(id_a), pa.int64()), par.take(pa.array(sel, pa.int64()))]
+            ),
+        }
+    )
+
+
 def _rep_star_partition(t: pa.Table) -> pa.Table:
     """Rep-link pass: (image_id, bucket=parent) rows -> unverified star
     edges among the sub-bucket representatives of each parent."""
@@ -355,17 +401,64 @@ def _combine_pair_groups(t: pa.Table, key_col: str, cfg: Config) -> pa.Table:
     )
 
 
+def _scatter_sig_rows(t: pa.Table, id_hash_fn, ch: np.ndarray,
+                      cpid: np.ndarray, cid: np.ndarray, nh: int) -> pa.Table:
+    """Fast-path scatter kernel: probe each signature row's id hash into
+    the sorted candidate index (ch), emit one (pair_id, jid, sig) row
+    per slot whose candidate id string EXACTLY matches (collision-safe —
+    ADVICE r2), dropping hash-only false matches."""
+    ids = _combine(t["image_id"])
+    h = id_hash_fn(ids)
+    left = np.searchsorted(ch, h, side="left")
+    right = np.searchsorted(ch, h, side="right")
+    counts = right - left
+    total = int(counts.sum())
+    empty = pa.table(
+        {
+            "pair_id": pa.array([], pa.int64()),
+            "jid": pa.array([], pa.string()),
+            "sig": _empty_sig_list(0),
+        }
+    )
+    if total == 0:
+        return empty
+    sel = np.repeat(np.arange(len(h)), counts)
+    within = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+    slot = np.repeat(left, counts) + within
+    jids = ids.take(pa.array(sel, pa.int64()))
+    ok = np.asarray(jids.to_numpy(zero_copy_only=False)).astype(str) == cid[slot]
+    if not ok.all():
+        sel, slot = sel[ok], slot[ok]
+        if sel.size == 0:
+            return empty
+        jids = ids.take(pa.array(sel, pa.int64()))
+    M = np.asarray(_combine(t["minhash"]).flatten()).reshape(
+        t.num_rows, nh
+    )
+    return pa.table(
+        {
+            "pair_id": pa.array(cpid[slot], pa.int64()),
+            "jid": jids,
+            "sig": _sig_list_array(np.ascontiguousarray(M[sel]), nh),
+        }
+    )
+
+
 def verify_pairs(pairs_ds, signed_ds, cfg: Config = DEFAULT_CONFIG):
     """Unverified (id_a, id_b) pairs -> (id_a, id_b, jaccard_est) with
     est >= cfg.jaccard_threshold.
 
     Fast path (pair table fits the driver, the common case since pairs
-    are only near-dup members): broadcast a sorted (id_hash -> pair_id)
-    index; each signature row scatters itself directly into its pair
-    groups, so candidate signatures move through ONE int64-keyed shuffle
-    and non-candidate signatures never leave their block. Driver-side
-    collision check on the 64-bit id hashes keeps this exact (on a
-    collision — ~never — we fall back to the general path).
+    are only near-dup members): broadcast a sorted (id_hash -> pair_id,
+    id) index; each signature row scatters itself directly into its
+    pair groups, so candidate signatures move through ONE int64-keyed
+    shuffle and non-candidate signatures never leave their block.
+    EXACT regardless of 64-bit hash collisions: after the searchsorted
+    probe every scattered row is string-verified against the candidate
+    id it claims to match (ADVICE r2: a non-candidate corpus id
+    colliding with a candidate id must not pollute a pair group), and
+    intra-candidate collisions additionally fall back to the general
+    path.
 
     General path (huge pair sets): pairs fan out into per-id half-edge
     rows, co-partitioned with ALL signature rows on hash(id) (signatures
@@ -393,37 +486,13 @@ def verify_pairs(pairs_ds, signed_ds, cfg: Config = DEFAULT_CONFIG):
             )
             h_all = pd.util.hash_array(ids_all).astype(np.uint64)
             order = np.argsort(h_all, kind="stable")
-            ref = ray.put((h_all[order], pair_ids[order]))
+            ref = ray.put(
+                (h_all[order], pair_ids[order], ids_all[order].astype(str))
+            )
 
             def sig_pair_rows(t: pa.Table) -> pa.Table:
-                ch, cpid = ray.get(ref)
-                ids = _combine(t["image_id"])
-                h = _id_hash(ids)
-                left = np.searchsorted(ch, h, side="left")
-                right = np.searchsorted(ch, h, side="right")
-                counts = right - left
-                total = int(counts.sum())
-                if total == 0:
-                    return pa.table(
-                        {
-                            "pair_id": pa.array([], pa.int64()),
-                            "jid": pa.array([], pa.string()),
-                            "sig": _empty_sig_list(0),
-                        }
-                    )
-                sel = np.repeat(np.arange(len(h)), counts)
-                within = np.arange(total) - np.repeat(
-                    np.cumsum(counts) - counts, counts
-                )
-                pids = cpid[np.repeat(left, counts) + within]
-                M = np.asarray(_combine(t["minhash"]).flatten()).reshape(t.num_rows, nh)
-                return pa.table(
-                    {
-                        "pair_id": pa.array(pids, pa.int64()),
-                        "jid": ids.take(pa.array(sel, pa.int64())),
-                        "sig": _sig_list_array(np.ascontiguousarray(M[sel]), nh),
-                    }
-                )
+                ch, cpid, cid = ray.get(ref)
+                return _scatter_sig_rows(t, _id_hash, ch, cpid, cid, nh)
 
             scattered = signed_ds.map_batches(sig_pair_rows, batch_format="pyarrow")
             return hash_partitioned_groupby_arrow(
@@ -490,21 +559,27 @@ def _band_columns(cfg: Config) -> list[str]:
     return [f"band_h{b}" for b in range(cfg.num_bands)]
 
 
-def candidate_pairs(minhash_ds, cfg: Config = DEFAULT_CONFIG,
-                    num_salts: int | None = None):
-    """Verified candidate pair Dataset: (id_a, id_b, jaccard_est), deduped.
+def candidate_edges(signed, cfg: Config = DEFAULT_CONFIG,
+                    num_salts: int | None = None, n_rows: int | None = None,
+                    edge_shape: str = "star"):
+    """UNVERIFIED candidate-edge Dataset (id_a, id_b) from a
+    MATERIALIZED signed Dataset — the banding half of candidate_pairs,
+    exposed so callers can plug in their own verification (e.g.
+    doc_clusters' exact-Jaccard shuffle join instead of the signature
+    estimate). Edges are NOT deduped (the same pair can surface from
+    several bands); every verifier dedups as part of its pair-keyed
+    shuffle.
 
-    SHUFFLE 2 of SURVEY.md section 4.2, round-2 shape: materialize the
-    signed table once (it is the signature index — also the natural
-    checkpoint), explode NARROW (image_id, bucket) band rows, groupby
-    bucket for unverified star edges, link salted sub-buckets via their
-    reps, dedup, then verify against fetched signatures (see
-    verify_pairs). num_salts=None (default) auto-salts detected hot
-    buckets per cfg.max_bucket_size; an explicit value forces uniform
-    salting (tests / known-skew corpora).
-    """
-    signed = minhash_ds.materialize()
-    n_rows = signed.count()
+    edge_shape="star" (default): rep-member edges per bucket — the
+    cheap shape used with signature-estimate verification where the
+    rep transitively links members. edge_shape="all": every
+    within-bucket pair — required when edges are EXACT-verified and a
+    failing rep edge must not orphan a true member-member pair; salted
+    sub-buckets still link via rep stars (documented approximation —
+    salting only triggers past cfg.max_bucket_size)."""
+    if n_rows is None:
+        n_rows = signed.count()
+    part_fn = _star_ids_partition if edge_shape == "star" else _allpairs_partition
     narrow = signed.select_columns(["image_id"] + _band_columns(cfg))
     hot = None
     ns = 1
@@ -522,7 +597,7 @@ def candidate_pairs(minhash_ds, cfg: Config = DEFAULT_CONFIG,
     bands = narrow.map_batches(explode, batch_format="pyarrow")
     est_bytes = n_rows * cfg.num_bands * _BAND_ROW_BYTES
     mixed = hash_partitioned_groupby_arrow(
-        bands, "bucket", _star_ids_partition, est_bytes=est_bytes
+        bands, "bucket", part_fn, est_bytes=est_bytes
     )
     if hot is not None or ns > 1:
         edges = mixed.map_batches(
@@ -539,6 +614,24 @@ def candidate_pairs(minhash_ds, cfg: Config = DEFAULT_CONFIG,
         edges = edges.union(link)
     else:
         edges = mixed
+    return edges
+
+
+def candidate_pairs(minhash_ds, cfg: Config = DEFAULT_CONFIG,
+                    num_salts: int | None = None):
+    """Verified candidate pair Dataset: (id_a, id_b, jaccard_est), deduped.
+
+    SHUFFLE 2 of SURVEY.md section 4.2, round-2 shape: materialize the
+    signed table once (it is the signature index — also the natural
+    checkpoint), explode NARROW (image_id, bucket) band rows, groupby
+    bucket for unverified star edges, link salted sub-buckets via their
+    reps, dedup, then verify against fetched signatures (see
+    verify_pairs). num_salts=None (default) auto-salts detected hot
+    buckets per cfg.max_bucket_size; an explicit value forces uniform
+    salting (tests / known-skew corpora).
+    """
+    signed = minhash_ds.materialize()
+    edges = candidate_edges(signed, cfg, num_salts=num_salts)
     # dedup happens inside verify_pairs (driver-side when the pair set
     # is small, a distributed distinct otherwise) — no extra shuffle
     return verify_pairs(edges, signed, cfg)

@@ -173,6 +173,25 @@ class TestDelta:
         assert d is not None and len(d) <= 0.2 * len(target)
         assert delta.delta_apply(base, d) == target
 
+    def test_legacy_untagged_zdict_readable(self):
+        """Round-1 stores wrote RAW zdict streams (leading zlib header
+        0x78, no format tag); delta_apply must still reconstruct them
+        (ADVICE r2 store-format compatibility)."""
+        import zlib
+
+        base = b"the quick brown fox jumps over the lazy dog " * 100
+        target = base[:100] + b"EDITED" + base[100:]
+        c = zlib.compressobj(6, zlib.DEFLATED, 15, 9, zlib.Z_DEFAULT_STRATEGY, base)
+        legacy = c.compress(target) + c.flush()
+        assert legacy[:1] == b"\x78"
+        assert delta.delta_apply(base, legacy) == target
+
+    def test_unknown_tag_raises(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            delta.delta_apply(b"base", b"\x7fgarbage")
+
     def test_dissimilar_rejected(self):
         a, b = RAND_1MB[:4096], RAND_1MB[4096:8192]
         assert delta.delta_encode(a, b, CFG) is None
