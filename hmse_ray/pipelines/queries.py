@@ -1489,47 +1489,109 @@ def random_pair_true_jaccard_hist(sf_dir, n_bins: int = 10):
             }
         )
 
-    sh_refs = docs.map_batches(shingle_rows, batch_format="pyarrow").to_arrow_refs()
+    # Pairing needs only the set of shingle-bearing doc ids (a doc has a
+    # byte 4-gram iff encoded length >= 4) — a narrow scan, then one tiny task
+    # builds the broadcast doc_id -> (pair_id, side) mapping. The pair
+    # intersections themselves are hash-partitioned by pair_id across
+    # tasks (VERDICT r02 item 5: the previous version ran all n/2
+    # intersections serially in ONE remote task).
+    id_refs = docs.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()).take(
+                    np.flatnonzero(
+                        pc.binary_length(pc.coalesce(t["text"], pa.scalar(""))).to_numpy(
+                            zero_copy_only=False
+                        )
+                        >= 4
+                    )
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_arrow_refs()
 
     @ray.remote
-    def _hist(*tables):
-        st = pa.concat_tables(tables).sort_by(
-            [("doc_id", "ascending"), ("shingle", "ascending")]
+    def build_pairing(*tables):
+        ids = np.unique(pa.concat_tables(tables)["doc_id"].to_numpy())
+        hm = murmur3.murmur3_u32(ids.astype(np.uint32), CFG.sample_seed)
+        order = np.lexsort((ids, hm))
+        half = len(order) // 2
+        pid = np.full(ids.size, -1, dtype=np.int64)
+        side = np.zeros(ids.size, dtype=np.int8)
+        pid[order[:half]] = np.arange(half)
+        pid[order[half : 2 * half]] = np.arange(half)
+        side[order[half : 2 * half]] = 1
+        return ids, pid, side  # ids sorted ascending -> searchsorted probe
+
+    mapping_ref = build_pairing.remote(*id_refs)
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids_arr, pid, side = ray.get(mapping_ref)
+        d = t["doc_id"].to_numpy()
+        pos = np.searchsorted(ids_arr, d)
+        pos[pos == ids_arr.size] = 0
+        keep = np.flatnonzero((ids_arr[pos] == d) & (pid[pos] >= 0))
+        return pa.table(
+            {
+                "shingle": t["shingle"].take(keep),
+                "pair_id": pa.array(pid[pos[keep]], pa.int64()),
+                "side": pa.array(side[pos[keep]], pa.int8()),
+            }
         )
-        sdoc = st["doc_id"].to_numpy()
-        svals = st["shingle"].to_numpy()
-        n = len(sdoc)
+
+    bins_lo = np.round(np.arange(n_bins) / n_bins, 2)
+
+    def part_hist(t: pa.Table) -> pa.Table:
+        t = t.sort_by(
+            [("pair_id", "ascending"), ("side", "ascending"), ("shingle", "ascending")]
+        )
+        pids = t["pair_id"].to_numpy()
+        sides = t["side"].to_numpy()
+        svals = t["shingle"].to_numpy()
         counts = np.zeros(n_bins, dtype=np.int64)
+        n = pids.size
         if n:
             new = np.empty(n, dtype=bool)
             new[0] = True
-            new[1:] = sdoc[1:] != sdoc[:-1]
-            starts = np.nonzero(new)[0]
-            ids = sdoc[starts]
-            offs = np.append(starts, n)
-            hm = murmur3.murmur3_u32(ids.astype(np.uint32), CFG.sample_seed)
-            order = np.lexsort((ids, hm))
-            half = len(order) // 2
-            for k in range(half):
-                ia, ib = order[k], order[k + half]
-                sa = svals[offs[ia] : offs[ia + 1]]
-                sb = svals[offs[ib] : offs[ib + 1]]
+            new[1:] = pids[1:] != pids[:-1]
+            starts = np.append(np.nonzero(new)[0], n)
+            for g in range(starts.size - 1):
+                lo, hi = starts[g], starts[g + 1]
+                split = lo + int(np.count_nonzero(sides[lo:hi] == 0))
+                sa, sb = svals[lo:split], svals[split:hi]
                 if sb.size < sa.size:
                     sa, sb = sb, sa
-                idx = np.searchsorted(sb, sa)
-                idx[idx == sb.size] = 0
-                inter = int(np.count_nonzero(sb[idx] == sa))
+                inter = 0
+                if sa.size:
+                    idx = np.searchsorted(sb, sa)
+                    idx[idx == sb.size] = 0
+                    inter = int(np.count_nonzero(sb[idx] == sa))
                 j = inter / max(1, sa.size + sb.size - inter)
                 counts[min(int(j * n_bins), n_bins - 1)] += 1
-        return counts
+        return pa.table(
+            {
+                "bin_lo": pa.array(bins_lo, pa.float64()),
+                "n_pairs": pa.array(counts, pa.int64()),
+            }
+        )
 
-    counts = ray.get(_hist.remote(*sh_refs))
-    return pd.DataFrame(
-        {
-            "bin_lo": np.round(np.arange(n_bins) / n_bins, 2),
-            "n_pairs": counts,
-        }
+    from hmse_ray.stages.aggregates import hash_partitioned_groupby_arrow
+
+    tagged = docs.map_batches(shingle_rows, batch_format="pyarrow").map_batches(
+        tag, batch_format="pyarrow"
     )
+    parts = hash_partitioned_groupby_arrow(tagged, "pair_id", part_hist)
+    # per-partition histograms are 10 rows each — summing driver-side is
+    # P x 10 tiny rows, cheaper than a second shuffle
+    out = (
+        parts.to_pandas()
+        .groupby("bin_lo", as_index=False)["n_pairs"]
+        .sum()
+        .sort_values("bin_lo")
+        .reset_index(drop=True)
+    )
+    return out
 
 
 def image_clusters(sf_dir):

@@ -48,88 +48,81 @@ def _reconstruct_batch(batch: pa.Table, cfg: Config) -> pa.Table:
     )
 
 
-def reconstruct(store_ds, cfg: Config = DEFAULT_CONFIG, num_partitions: int | None = None):
-    """store table -> (image_id, caption_restored, restored image bytes).
-
-    J4 analog: each member row joins its cluster-canonical payload
-    (pointer redirect / delta base fetch), then a stateless apply map.
-    """
+def _attach_canon_payloads(t: pa.Table) -> pa.Table:
+    """Within a cluster_id partition: gather each row's cluster-canonical
+    payload columns (pointer redirect / delta base fetch, J4)."""
     import pyarrow.compute as pc
 
-    from hmse_ray.util import join_partitions
+    from hmse_ray.stages.aggregates import gather_lookup
 
-    num_partitions = num_partitions or join_partitions()
-    canon = store_ds.map_batches(
-        lambda t: t.filter(pc.equal(t["image_id"], t["cluster_id"])),
-        batch_format="pyarrow",
-    ).select_columns(
-        ["cluster_id", "caption_payload", "caption_env", "image_payload"]
-    ).rename_columns(
+    canon = t.filter(pc.equal(t["image_id"], t["cluster_id"]))
+    return gather_lookup(
+        t, "cluster_id",
+        canon.select(["cluster_id", "caption_payload", "caption_env", "image_payload"]),
+        "cluster_id",
         {
             "caption_payload": "canon_payload",
             "caption_env": "canon_env",
             "image_payload": "canon_image",
+        },
+    )
+
+
+def reconstruct(store_ds, cfg: Config = DEFAULT_CONFIG, num_partitions: int | None = None):
+    """store table -> (image_id, caption_restored, restored image bytes).
+
+    One tasks-only hash-partition shuffle on cluster_id (canonical rows
+    co-locate with members), then a stateless apply map per partition.
+    Dataset.join is deliberately avoided here — see aggregates.py
+    copartition_two for the measured hang it caused.
+    """
+    from hmse_ray.stages.aggregates import hash_partitioned_groupby_arrow
+
+    return hash_partitioned_groupby_arrow(
+        store_ds, "cluster_id",
+        lambda t: _reconstruct_batch(_attach_canon_payloads(t), cfg),
+        num_partitions=num_partitions,
+    )
+
+
+def _check_batch(batch: pa.Table, cfg: Config) -> pa.Table:
+    """Per-row invariant over merged (restored x original) rows -> one
+    stats row: n_rows, caption_pass, pixel_pass, min_psnr (inf -> 1e9
+    sentinel for finite aggregation)."""
+    n = batch.num_rows
+    cap_ok = pix_ok = 0
+    min_psnr = float("inf")
+    for i in range(n):
+        cap_ok += batch["caption_restored"][i].as_py() == batch["caption_orig"][i].as_py()
+        fmt = batch["fmt"][i].as_py()
+        w, h = batch["w"][i].as_py(), batch["h"][i].as_py()
+        stored = batch["image_payload"][i].as_py()
+        if stored is None:  # pointer -> canonical image bytes
+            stored = batch["canon_image"][i].as_py()
+        orig_px = imagecodec.decode(batch["bytes_orig"][i].as_py(), w, h, fmt)
+        got_px = imagecodec.decode(stored, w, h, fmt)
+        if imagecodec.is_lossless(fmt):
+            ok = bool((orig_px == got_px).all())
+            p = float("inf") if ok else imagecodec.psnr(orig_px, got_px)
+        else:
+            p = imagecodec.psnr(orig_px, got_px)
+            ok = p >= cfg.psnr_min_db
+        pix_ok += ok
+        min_psnr = min(min_psnr, p)
+    return pa.table(
+        {
+            "n_rows": pa.array([n], pa.int64()),
+            "caption_pass": pa.array([cap_ok], pa.int64()),
+            "pixel_pass": pa.array([pix_ok], pa.int64()),
+            "min_psnr": pa.array([min(min_psnr, 1e9)], pa.float64()),
         }
     )
-    j = store_ds.join(
-        canon, join_type="inner", num_partitions=num_partitions, on=("cluster_id",)
-    )
-    return j.map_batches(lambda t: _reconstruct_batch(t, cfg), batch_format="pyarrow")
 
 
-def verify_invariant(restored_ds, images_ds, cfg: Config = DEFAULT_CONFIG,
-                     num_partitions: int | None = None):
-    """M9: join restored rows with originals; per-row invariant checks.
-
-    Returns a one-row Dataset: n_rows, caption_pass, pixel_pass,
-    min_psnr (inf -> 1e9 sentinel for finite aggregation).
-    """
-    from hmse_ray.util import join_partitions
-
-    num_partitions = num_partitions or join_partitions()
-    orig = images_ds.select_columns(["image_id", "caption", "bytes"]).rename_columns(
-        {"caption": "caption_orig", "bytes": "bytes_orig"}
-    )
-    j = restored_ds.join(
-        orig, join_type="inner", num_partitions=num_partitions, on=("image_id",)
-    )
-
-    def check(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        cap_ok = pix_ok = 0
-        min_psnr = float("inf")
-        for i in range(n):
-            cap_ok += batch["caption_restored"][i].as_py() == batch["caption_orig"][i].as_py()
-            fmt = batch["fmt"][i].as_py()
-            w, h = batch["w"][i].as_py(), batch["h"][i].as_py()
-            stored = batch["image_payload"][i].as_py()
-            if stored is None:  # pointer -> canonical image bytes
-                stored = batch["canon_image"][i].as_py()
-            orig_px = imagecodec.decode(batch["bytes_orig"][i].as_py(), w, h, fmt)
-            got_px = imagecodec.decode(stored, w, h, fmt)
-            if imagecodec.is_lossless(fmt):
-                ok = bool((orig_px == got_px).all())
-                p = float("inf") if ok else imagecodec.psnr(orig_px, got_px)
-            else:
-                p = imagecodec.psnr(orig_px, got_px)
-                ok = p >= cfg.psnr_min_db
-            pix_ok += ok
-            min_psnr = min(min_psnr, p)
-        return pa.table(
-            {
-                "n_rows": pa.array([n], pa.int64()),
-                "caption_pass": pa.array([cap_ok], pa.int64()),
-                "pixel_pass": pa.array([pix_ok], pa.int64()),
-                "min_psnr": pa.array(
-                    [min(min_psnr, 1e9)], pa.float64()
-                ),
-            }
-        )
-
+def _aggregate_stats(parts_ds):
     from ray.data.aggregate import Min, Sum
 
-    parts = j.map_batches(check, batch_format="pyarrow")
-    return parts.aggregate(
+    return parts_ds.aggregate(
         Sum("n_rows", alias_name="n_rows"),
         Sum("caption_pass", alias_name="caption_pass"),
         Sum("pixel_pass", alias_name="pixel_pass"),
@@ -137,12 +130,79 @@ def verify_invariant(restored_ds, images_ds, cfg: Config = DEFAULT_CONFIG,
     )
 
 
+RESTORED_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("caption_restored", pa.string()),
+        ("image_payload", pa.binary()),
+        ("canon_image", pa.binary()),
+        ("fmt", pa.string()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("caption_orig", pa.string()),
+        ("bytes_orig", pa.binary()),
+    ]
+)
+
+
+def verify_invariant(restored_ds, images_ds, cfg: Config = DEFAULT_CONFIG,
+                     num_partitions: int | None = None):
+    """M9: merge restored rows with originals (tasks-only co-partition
+    shuffle on image_id, not Dataset.join); per-row invariant checks."""
+    from hmse_ray.stages.aggregates import copartition_two, gather_lookup
+
+    orig = images_ds.select_columns(["image_id", "caption", "bytes"]).rename_columns(
+        {"caption": "caption_orig", "bytes": "bytes_orig"}
+    )
+
+    def merge(left: pa.Table, right: pa.Table) -> pa.Table:
+        merged = gather_lookup(
+            left.drop_columns(["caption_orig", "bytes_orig"]), "image_id",
+            right, "image_id",
+            {"caption_orig": "caption_orig", "bytes_orig": "bytes_orig"},
+        )
+        return _check_batch(merged, cfg)
+
+    parts = copartition_two(
+        restored_ds, orig, "image_id", RESTORED_SCHEMA, merge,
+        num_partitions=num_partitions,
+    )
+    return _aggregate_stats(parts)
+
+
 def roundtrip(images_ds, clusters_ds, cfg: Config = DEFAULT_CONFIG,
               num_partitions: int | None = None):
     """Full encode -> store -> reconstruct -> verify loop; returns the
-    aggregate invariant dict."""
-    from hmse_ray.stages import store as store_stage
+    aggregate invariant dict.
 
-    st = store_stage.store_table(images_ds, clusters_ds, cfg, num_partitions)
-    rec = reconstruct(st, cfg, num_partitions)
-    return verify_invariant(rec, images_ds, cfg, num_partitions)
+    Fused plan: shuffle 1 attaches cluster_id (co-partition on
+    image_id); shuffle 2 hash-partitions by cluster_id; each partition
+    then encodes, reconstructs and checks locally in one pass — the
+    original caption/bytes ride along, so no third shuffle. The previous
+    four-chained-Dataset.join version deadlock-crawled (~190 workers,
+    530 s for 618 rows); this runs the same semantics with two
+    tasks-only shuffles.
+    """
+    from hmse_ray.stages import store as store_stage
+    from hmse_ray.stages.aggregates import (
+        gather_lookup,
+        hash_partitioned_groupby_arrow,
+    )
+
+    members = store_stage.attach_clusters(images_ds, clusters_ds, num_partitions)
+
+    def per_cluster_partition(t: pa.Table) -> pa.Table:
+        st = store_stage.encode_partition(t, cfg)
+        rec = _reconstruct_batch(_attach_canon_payloads(st), cfg)
+        merged = gather_lookup(
+            rec, "image_id",
+            t.select(["image_id", "caption", "bytes"]), "image_id",
+            {"caption": "caption_orig", "bytes": "bytes_orig"},
+        )
+        return _check_batch(merged, cfg)
+
+    parts = hash_partitioned_groupby_arrow(
+        members, "cluster_id", per_cluster_partition,
+        num_partitions=num_partitions,
+    )
+    return _aggregate_stats(parts)

@@ -114,6 +114,88 @@ def hash_partitioned_groupby_arrow(ds, key_col: str, apply_fn,
     )
 
 
+def copartition_two(left_ds, right_ds, key: str, schema: pa.Schema, apply_fn,
+                    num_partitions: int | None = None,
+                    est_bytes: int | None = None):
+    """Hash-co-partition two datasets on ``key`` and apply a vectorized
+    merge once per partition: ``apply_fn(left_t, right_t) -> pa.Table``.
+
+    This is the tasks-only replacement for ``Dataset.join`` in pipeline
+    interiors: Ray's hash join spawns per-partition aggregator ACTORS,
+    and several joins chained lazily in one streaming plan oversubscribe
+    the cluster (measured here: a 618-row store->reconstruct->verify
+    chain with four joins ballooned to ~190 worker processes and hung
+    ~530 s). One groupby shuffle, no actors, same co-location guarantee:
+    every key lands wholly in one partition, on both sides.
+
+    ``schema`` lists the union of both sides' columns (disjoint apart
+    from ``key``); each side is padded to it with typed nulls so the
+    unioned blocks share one schema.
+    """
+    names = [f.name for f in schema]
+
+    def pad(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = []
+            for f in schema:
+                if f.name in t.column_names:
+                    c = t[f.name]
+                    if isinstance(c, pa.ChunkedArray):
+                        c = c.combine_chunks()
+                    if c.type != f.type:
+                        c = c.cast(f.type)
+                else:
+                    c = pa.nulls(n, f.type)
+                cols.append(c)
+            cols.append(pa.array(np.full(n, side, np.int8)))
+            return pa.table(cols, names=names + ["_side"])
+        return fn
+
+    unioned = left_ds.map_batches(pad(0), batch_format="pyarrow").union(
+        right_ds.map_batches(pad(1), batch_format="pyarrow")
+    )
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        side = t["_side"].to_numpy(zero_copy_only=False)
+        t = t.drop_columns(["_side"])
+        return apply_fn(t.take(np.flatnonzero(side == 0)),
+                        t.take(np.flatnonzero(side == 1)))
+
+    return hash_partitioned_groupby_arrow(
+        unioned, key, per_partition,
+        num_partitions=num_partitions, est_bytes=est_bytes,
+    )
+
+
+def gather_lookup(members: pa.Table, member_key: str,
+                  lookup: pa.Table, lookup_key: str,
+                  take_cols: dict[str, str]) -> pa.Table:
+    """Vectorized within-partition equi-lookup (inner): append
+    ``take_cols`` (src->dst names) from the matching ``lookup`` row to
+    each ``members`` row; members with no match are dropped. The key
+    index is a pandas C hash probe; payload columns are gathered with
+    arrow ``take`` (no boxing of binary cells)."""
+    if members.num_rows == 0 or lookup.num_rows == 0:
+        cols = list(members.columns)
+        out_names = list(members.column_names)
+        empty = members.take(np.array([], np.int64))
+        for src, dst in take_cols.items():
+            empty = empty.append_column(dst, pa.nulls(0, lookup.schema.field(src).type))
+        return empty
+    idx = pd.Index(lookup[lookup_key].to_pandas())
+    pos = idx.get_indexer(pd.Index(members[member_key].to_pandas()))
+    keep = np.flatnonzero(pos >= 0)
+    out = members.take(keep)
+    sel = pos[keep]
+    for src, dst in take_cols.items():
+        c = lookup[src]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        out = out.append_column(dst, c.take(sel))
+    return out
+
+
 def distinct_pairs(ds, id_a: str = "id_a", id_b: str = "id_b",
                    val_col: str | None = None,
                    num_partitions: int | None = None,

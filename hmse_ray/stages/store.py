@@ -73,29 +73,70 @@ def _encode_group(batch: pa.Table, cfg: Config) -> pa.Table:
     )
 
 
+MEMBER_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("cluster_id", pa.string()),
+        ("caption", pa.string()),
+        ("bytes", pa.binary()),
+        ("fmt", pa.string()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+    ]
+)
+
+
+def attach_clusters(images_ds, clusters_ds, num_partitions: int | None = None):
+    """images x clusters on image_id -> member rows (MEMBER_SCHEMA).
+
+    Tasks-only shuffle equi-join (copartition_two) — NOT Dataset.join:
+    chained join actor pools hung the verify path (see aggregates.py).
+    """
+    from hmse_ray.stages.aggregates import copartition_two, gather_lookup
+
+    def merge(left: pa.Table, right: pa.Table) -> pa.Table:
+        return gather_lookup(
+            left.drop_columns(["cluster_id"]), "image_id",
+            right, "image_id", {"cluster_id": "cluster_id"},
+        ).select(MEMBER_SCHEMA.names)
+
+    return copartition_two(
+        images_ds, clusters_ds, "image_id", MEMBER_SCHEMA, merge,
+        num_partitions=num_partitions,
+    )
+
+
+def encode_partition(t: pa.Table, cfg: Config) -> pa.Table:
+    """Per-cluster_id-partition store encoding: canonical rows live in
+    the same partition as their members, so the base-payload lookup (J3)
+    is a local vectorized gather, then the stateless encode map."""
+    from hmse_ray.stages.aggregates import gather_lookup
+
+    canon = t.filter(pc.equal(t["image_id"], t["cluster_id"]))
+    merged = gather_lookup(
+        t, "cluster_id",
+        canon.select(["cluster_id", "caption", "bytes"]), "cluster_id",
+        {"caption": "canon_caption", "bytes": "canon_bytes"},
+    )
+    return _encode_group(merged, cfg)
+
+
 def store_table(images_ds, clusters_ds, cfg: Config = DEFAULT_CONFIG,
                 num_partitions: int | None = None):
     """images + cluster assignments -> stored-record table.
 
-    Joins: images x clusters on image_id, then x canonical payloads on
-    cluster_id (both hash joins), then a stateless encode map.
+    Two tasks-only shuffles: co-partition on image_id to attach
+    cluster_id, then hash-partition by cluster_id so every cluster is
+    wholly local; encode per partition.
     """
-    from hmse_ray.util import join_partitions
+    from hmse_ray.stages.aggregates import hash_partitioned_groupby_arrow
 
-    num_partitions = num_partitions or join_partitions()
-    j1 = images_ds.join(
-        clusters_ds, join_type="inner", num_partitions=num_partitions, on=("image_id",)
+    members = attach_clusters(images_ds, clusters_ds, num_partitions)
+    return hash_partitioned_groupby_arrow(
+        members, "cluster_id",
+        lambda t: encode_partition(t, cfg),
+        num_partitions=num_partitions,
     )
-    canon = j1.map_batches(
-        lambda t: t.filter(pc.equal(t["image_id"], t["cluster_id"])),
-        batch_format="pyarrow",
-    ).select_columns(["cluster_id", "caption", "bytes"]).rename_columns(
-        {"caption": "canon_caption", "bytes": "canon_bytes"}
-    )
-    j2 = j1.join(
-        canon, join_type="inner", num_partitions=num_partitions, on=("cluster_id",)
-    )
-    return j2.map_batches(lambda t: _encode_group(t, cfg), batch_format="pyarrow")
 
 
 def store_kind_stats(store_ds):
