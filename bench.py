@@ -91,10 +91,13 @@ def run_bench() -> dict:
             f.write(clusters.stats())
 
     queries = {"flagship_dedup": round(headline, 3)}
-    for name in BENCH_QUERIES:
-        t0 = time.time()
-        consume(QUERIES[name](SF_DIR))
-        queries[name] = round(time.time() - t0, 3)
+    # scaling runs skip the per-operator queries: the efficiency metric
+    # uses only the flagship wall time
+    if not os.environ.get("GRAFT_SKIP_QUERIES"):
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            consume(QUERIES[name](SF_DIR))
+            queries[name] = round(time.time() - t0, 3)
 
     out = {
         "metric": "flagship image dedup wall time (synthetic fixture, "
@@ -117,11 +120,20 @@ def run_scaling() -> dict:
     # of Ray stage barriers) swamps the parallel work and the ratio
     # measures overhead, not scaling. 200k rows puts the flagship back
     # in the compute-bound regime on this host.
+    #
+    # --runs R (default 3): the whole lo/hi sequence runs R times and the
+    # MEDIAN raw efficiency is the headline (VERDICT r02: a single
+    # quiet-host-window best case is not a robust measurement on this
+    # shared VM, where identical runs vary 1.5-2x).
     scale_rows = os.environ.get("GRAFT_SCALE_ROWS", "200000")
+    n_runs = 3
+    if "--runs" in sys.argv:
+        n_runs = int(sys.argv[sys.argv.index("--runs") + 1])
 
     def run(ncpu: int) -> dict:
         env = dict(
-            os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_ROWS=scale_rows
+            os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_ROWS=scale_rows,
+            GRAFT_SKIP_QUERIES="1",
         )
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -134,36 +146,50 @@ def run_scaling() -> dict:
     # with a pure-CPU burn: 32 procs reach only ~16x). N vs 4N must stay
     # within physical cores for the comparison to be meaningful -> 4 vs 16.
     lo_n, hi_n = int(os.environ.get("GRAFT_SCALE_LO", "4")), int(os.environ.get("GRAFT_SCALE_HI", "16"))
-    lo = run(lo_n)
-    hi = run(hi_n)
-    eff = (lo["value"] / hi["value"]) / (hi_n / lo_n)
-    ceiling = _cpu_ceiling(lo_n, hi_n)
+    runs = []
+    for _ in range(n_runs):
+        lo = run(lo_n)
+        hi = run(hi_n)
+        eff = (lo["value"] / hi["value"]) / (hi_n / lo_n)
+        ceiling = _cpu_ceiling(lo_n, hi_n)
+        runs.append(
+            {
+                f"sec_{lo_n}": lo["value"],
+                f"sec_{hi_n}": hi["value"],
+                f"images_per_sec_{lo_n}": lo["images_per_sec"],
+                f"images_per_sec_{hi_n}": hi["images_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+                "host_cpu_ceiling": round(ceiling, 3),
+                "efficiency_vs_ceiling": round(eff / ceiling, 3),
+            }
+        )
+    effs = sorted(r["scaling_efficiency"] for r in runs)
+    median_eff = effs[len(effs) // 2] if len(effs) % 2 else round(
+        (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3
+    )
     res = {
         "metric": f"scaling efficiency, fresh ray.init at num_cpus={lo_n} vs "
-        f"{hi_n} (sandbox substitute for N vs 4N nodes)",
-        f"sec_{lo_n}": lo["value"],
-        f"sec_{hi_n}": hi["value"],
-        f"images_per_sec_{lo_n}": lo["images_per_sec"],
-        f"images_per_sec_{hi_n}": hi["images_per_sec"],
-        "scaling_efficiency": round(eff, 3),
-        "host_cpu_ceiling": round(ceiling, 3),
-        "efficiency_vs_ceiling": round(eff / ceiling, 3),
+        f"{hi_n} (sandbox substitute for N vs 4N nodes); median of {n_runs} runs",
+        "median_scaling_efficiency": median_eff,
+        "n_runs": n_runs,
+        "runs": runs,
         "bench_rows": lo["bench_rows"],
     }
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "a") as f:
         f.write(
-            f"\n## scaling run ({time.strftime('%Y-%m-%d %H:%M:%S')})\n\n"
-            f"| num_cpus | wall sec | images/sec |\n|---|---|---|\n"
-            f"| {lo_n} | {lo['value']} | {lo['images_per_sec']} |\n"
-            f"| {hi_n} | {hi['value']} | {hi['images_per_sec']} |\n\n"
-            f"scaling efficiency (throughput_{hi_n}/throughput_{lo_n})/{hi_n//lo_n} = "
-            f"**{res['scaling_efficiency']}** (target >= 0.8); host pure-CPU "
-            f"ceiling for the same ratio (multiprocessing burn calibration) = "
-            f"{res['host_cpu_ceiling']}; efficiency vs ceiling = "
-            f"**{res['efficiency_vs_ceiling']}**\n"
-            f"rows={lo['bench_rows']}, per-query times at {hi_n} cpus: "
-            f"{json.dumps(hi['queries'])}\n"
+            f"\n## scaling series ({time.strftime('%Y-%m-%d %H:%M:%S')}), "
+            f"protocol declared up front: median of n={n_runs} consecutive "
+            f"lo/hi pairs, rows={lo['bench_rows']}\n\n"
+            f"**median raw efficiency = {median_eff}** (target >= 0.8)\n\n"
+            f"| run | sec@{lo_n} | sec@{hi_n} | eff | cpu ceiling | eff/ceiling |\n"
+            f"|---|---|---|---|---|---|\n"
+            + "".join(
+                f"| {i+1} | {r[f'sec_{lo_n}']} | {r[f'sec_{hi_n}']} | "
+                f"{r['scaling_efficiency']} | {r['host_cpu_ceiling']} | "
+                f"{r['efficiency_vs_ceiling']} |\n"
+                for i, r in enumerate(runs)
+            )
         )
     return res
 

@@ -373,3 +373,107 @@ def images_from_documents(sf_dir: str, cfg: Config = DEFAULT_CONFIG, seed: int =
     rows as the streaming derivation by construction (per-doc_id seeds)."""
     docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
     return _image_rows_from_docs(docs, seed)
+
+
+# --- audio / video derivations (murmur3 waveforms: SQL-reproducible) --------
+# Sample values are murmur3_u32 of a per-(doc, position) key, so the
+# DuckDB oracle regenerates the exact waveform with the same CTE chain
+# used for the MinHash/winnowing oracles — clip features (sum of squares
+# is integer) verify bit-for-bit, not rows-only.
+
+AUDIO_RATE = 16000
+AUDIO_SEED = 909
+AUDIO_DOC_MOD = 5   # every 5th doc gets a clip (bounds oracle cost)
+VIDEO_SEED = 707
+VIDEO_DOC_MOD = 7
+VIDEO_W, VIDEO_H = 16, 12
+_KEY_MUL = 2654435761  # Knuth multiplicative constant
+_FRAME_MUL = 65599
+
+AUDIO_SCHEMA = pa.schema(
+    [("clip_id", pa.string()), ("bytes", pa.binary()), ("fmt", pa.string())]
+)
+VIDEO_SCHEMA = pa.schema(
+    [("video_id", pa.string()), ("bytes", pa.binary()), ("fmt", pa.string())]
+)
+
+
+def audio_samples_for_doc(doc_id: int, text: str) -> np.ndarray:
+    """Deterministic int16 waveform for one document (uniform murmur
+    noise in [-8192, 8191]); n_samples varies with the text length."""
+    from hmse_ray.functions import murmur3
+
+    n = 800 + (len(text.encode()) * 7) % 3200
+    base = np.uint32((int(doc_id) * _KEY_MUL) & 0xFFFFFFFF)
+    keys = base + np.arange(n, dtype=np.uint32)
+    h = murmur3.murmur3_u32(keys, AUDIO_SEED)
+    return (h % np.uint32(16384)).astype(np.int64).astype(np.int16) - np.int16(8192)
+
+
+def _audio_rows_from_docs(docs: pa.Table) -> pa.Table:
+    from hmse_ray.functions import audiocodec
+
+    ids, blobs = [], []
+    for did, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        did = int(did)
+        if did % AUDIO_DOC_MOD:
+            continue
+        ids.append(f"aud{did:08d}")
+        blobs.append(audiocodec.encode_wav(
+            audio_samples_for_doc(did, text or ""), AUDIO_RATE))
+    return pa.table(
+        {"clip_id": ids, "bytes": blobs, "fmt": ["wav"] * len(ids)},
+        schema=AUDIO_SCHEMA,
+    )
+
+
+def audio_from_documents_ds(sf_dir: str):
+    """STREAMING derivation of a WAV clip table from documents.parquet
+    (same pattern as images_from_documents_ds)."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return docs.map_batches(_audio_rows_from_docs, batch_format="pyarrow")
+
+
+def video_frames_for_doc(doc_id: int, text: str) -> np.ndarray:
+    """Deterministic (n_frames, VIDEO_H, VIDEO_W) uint8 gray frames:
+    pixel = murmur3(doc*MUL + frame*FRAME_MUL + pos) % 256."""
+    from hmse_ray.functions import murmur3
+
+    n_frames = 8 + len(text.encode()) % 25
+    npx = VIDEO_W * VIDEO_H
+    frame = np.repeat(np.arange(n_frames, dtype=np.uint32), npx)
+    pos = np.tile(np.arange(npx, dtype=np.uint32), n_frames)
+    base = np.uint32((int(doc_id) * _KEY_MUL) & 0xFFFFFFFF)
+    keys = base + frame * np.uint32(_FRAME_MUL) + pos
+    h = murmur3.murmur3_u32(keys, VIDEO_SEED)
+    return (h % np.uint32(256)).astype(np.uint8).reshape(n_frames, VIDEO_H, VIDEO_W)
+
+
+def _video_rows_from_docs(docs: pa.Table) -> pa.Table:
+    from hmse_ray.functions import videocodec
+
+    ids, blobs = [], []
+    for did, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        did = int(did)
+        if did % VIDEO_DOC_MOD:
+            continue
+        ids.append(f"vid{did:08d}")
+        blobs.append(videocodec.encode_video(video_frames_for_doc(did, text or "")))
+    return pa.table(
+        {"video_id": ids, "bytes": blobs, "fmt": ["hvid"] * len(ids)},
+        schema=VIDEO_SCHEMA,
+    )
+
+
+def video_from_documents_ds(sf_dir: str):
+    """STREAMING derivation of an HVID video table from documents.parquet."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return docs.map_batches(_video_rows_from_docs, batch_format="pyarrow")

@@ -9,10 +9,11 @@ rows are wide (task brief; ray guide "memory-aware").
 This container has no image/audio/video libraries, so:
   * image decode is REAL for the engine codec (raw/png/jpeg stand-ins,
     hmse_ray.functions.imagecodec) and PIL-gated for real formats;
-  * audio decode and video frame sampling are STUBS — the schema,
-    actor signature, batching and output layout are real and tested,
-    but the codec call raises NotImplementedError unless the optional
-    dependency (soundfile / av) is importable.
+  * audio decode is REAL for RIFF/WAVE PCM16 (pure-numpy chunk parser,
+    functions/audiocodec.py) and soundfile-gated for other formats;
+  * video frame sampling is REAL for the engine's HVID frame-concat
+    container (functions/videocodec.py, header seek + per-frame reads)
+    and av-gated for real codecs.
 """
 
 from __future__ import annotations
@@ -66,14 +67,18 @@ class ImageDecodeResize:
 
 
 class AudioDecode:
-    """STUB audio decode stage (soundfile-gated).
+    """Audio decode stage — REAL for RIFF/WAVE PCM16 (pure-numpy parser,
+    functions/audiocodec.py); soundfile-gated for other formats.
 
     Input: (clip_id: string, bytes: binary, fmt: string)
-    Output: (clip_id, samples: list<float>, sample_rate: int32)
+    Output: (clip_id, samples: list<int16>, sample_rate: int32,
+             n_channels: int32) — decoded PCM, mixed down column-major.
     """
 
-    def __init__(self, target_rate: int = 16000):
-        self.target_rate = target_rate
+    def __init__(self):
+        from hmse_ray.functions import audiocodec
+
+        self._codec = audiocodec
         try:  # pragma: no cover - not installed in this container
             import soundfile  # noqa: F401
 
@@ -81,25 +86,58 @@ class AudioDecode:
         except ImportError:
             self._sf = None
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if self._sf is None:
+    def _decode(self, blob: bytes, fmt: str):
+        if fmt == "wav":
+            return self._codec.decode_wav(blob)
+        if self._sf is None:  # pragma: no cover
             raise NotImplementedError(
-                "audio decode requires the optional 'soundfile' dependency "
-                "(absent in this container); Ray-side plumbing is real"
+                f"decoding '{fmt}' requires the optional 'soundfile' "
+                "dependency (absent in this container); the WAV path is real"
             )
-        raise NotImplementedError("real decode path exercised only with soundfile")
+        data, rate = self._sf.read(__import__("io").BytesIO(blob))  # pragma: no cover
+        return data, rate, (data.shape[1] if data.ndim > 1 else 1)  # pragma: no cover
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["clip_id"]
+        out_samples, rates, chans, offsets = [], [], [], [0]
+        for blob, fmt in zip(batch["bytes"].to_pylist(), batch["fmt"].to_pylist()):
+            s, rate, n_ch = self._decode(blob, fmt)
+            s = np.asarray(s).reshape(-1)  # interleaved when multi-channel
+            out_samples.append(s.astype(np.int16, copy=False))
+            rates.append(rate)
+            chans.append(n_ch)
+            offsets.append(offsets[-1] + s.size)
+        flat = (
+            np.concatenate(out_samples) if out_samples else np.empty(0, np.int16)
+        )
+        return pa.table(
+            {
+                "clip_id": ids,
+                "samples": pa.ListArray.from_arrays(
+                    pa.array(offsets, pa.int32()), pa.array(flat, pa.int16())
+                ),
+                "sample_rate": pa.array(rates, pa.int32()),
+                "n_channels": pa.array(chans, pa.int32()),
+            }
+        )
 
 
 class VideoFrameSample:
-    """STUB video frame-sampling stage (av-gated).
+    """Video frame-sampling stage — REAL for the engine's HVID
+    frame-concat container (functions/videocodec.py, header seek +
+    per-frame reads); av-gated for real codecs.
 
     Input: (video_id: string, bytes: binary, fmt: string)
     Output: one row PER SAMPLED FRAME (video_id, frame_idx: int32,
-    pixels: binary) — 1-in-N fan-out like the chunk explode.
+    n_frames: int32, w: int32, h: int32, pixels: binary gray8) —
+    1-in-N fan-out like the chunk explode.
     """
 
-    def __init__(self, every_n: int = 30):
+    def __init__(self, every_n: int = 4):
+        from hmse_ray.functions import videocodec
+
         self.every_n = every_n
+        self._codec = videocodec
         try:  # pragma: no cover
             import av  # noqa: F401
 
@@ -108,12 +146,37 @@ class VideoFrameSample:
             self._av = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self._av is None:
-            raise NotImplementedError(
-                "video decode requires the optional 'av' dependency "
-                "(absent in this container); Ray-side plumbing is real"
-            )
-        raise NotImplementedError("real decode path exercised only with av")
+        vids, idxs, totals, ws, hs, pixels = [], [], [], [], [], []
+        for vid, blob, fmt in zip(
+            batch["video_id"].to_pylist(),
+            batch["bytes"].to_pylist(),
+            batch["fmt"].to_pylist(),
+        ):
+            if fmt != "hvid":
+                if self._av is None:  # pragma: no cover
+                    raise NotImplementedError(
+                        f"decoding '{fmt}' requires the optional 'av' "
+                        "dependency (absent); the HVID path is real"
+                    )
+                continue  # pragma: no cover
+            w, h, n = self._codec.probe(blob)
+            for fi in range(0, n, self.every_n):
+                vids.append(vid)
+                idxs.append(fi)
+                totals.append(n)
+                ws.append(w)
+                hs.append(h)
+                pixels.append(self._codec.decode_frame(blob, fi).tobytes())
+        return pa.table(
+            {
+                "video_id": pa.array(vids, pa.string()),
+                "frame_idx": pa.array(idxs, pa.int32()),
+                "n_frames": pa.array(totals, pa.int32()),
+                "w": pa.array(ws, pa.int32()),
+                "h": pa.array(hs, pa.int32()),
+                "pixels": pa.array(pixels, pa.binary()),
+            }
+        )
 
 
 def decode_resize_stage(images_ds, out_w: int = 32, out_h: int = 24,
@@ -124,6 +187,29 @@ def decode_resize_stage(images_ds, out_w: int = 32, out_h: int = 24,
     return images_ds.select_columns(need).map_batches(
         ImageDecodeResize,
         fn_constructor_kwargs={"out_w": out_w, "out_h": out_h},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or (1, 8),
+    )
+
+
+def audio_decode_stage(clips_ds, concurrency=None, batch_size: int = 64):
+    """clips -> decoded PCM sample rows (actor pool; small batches —
+    rows carry whole waveforms)."""
+    return clips_ds.map_batches(
+        AudioDecode,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or (1, 8),
+    )
+
+
+def video_frame_stage(videos_ds, every_n: int = 4, concurrency=None,
+                      batch_size: int = 32):
+    """videos -> one row per sampled frame (actor pool; 1-in-N fan-out)."""
+    return videos_ds.map_batches(
+        VideoFrameSample,
+        fn_constructor_kwargs={"every_n": every_n},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency or (1, 8),

@@ -281,3 +281,67 @@ class TestConfig:
 
         assert not ABLATION_CONFIGS["l1_only"].enable_l4
         assert ABLATION_CONFIGS["full"].enable_l3
+
+
+class TestAudioCodec:
+    def test_wav_roundtrip_mono(self):
+        from hmse_ray.functions import audiocodec
+
+        s = (np.arange(1000, dtype=np.int16) * 31) - 8000
+        blob = audiocodec.encode_wav(s, 16000)
+        got, rate, ch = audiocodec.decode_wav(blob)
+        assert rate == 16000 and ch == 1 and (got == s).all()
+
+    def test_wav_roundtrip_stereo(self):
+        from hmse_ray.functions import audiocodec
+
+        s = np.stack(
+            [np.arange(64, dtype=np.int16), -np.arange(64, dtype=np.int16)], axis=1
+        )
+        got, rate, ch = audiocodec.decode_wav(audiocodec.encode_wav(s, 44100))
+        assert rate == 44100 and ch == 2 and (got == s).all()
+
+    def test_chunk_walking_tolerates_extra_chunks(self):
+        import struct
+
+        from hmse_ray.functions import audiocodec
+
+        s = np.arange(100, dtype=np.int16)
+        blob = audiocodec.encode_wav(s, 16000)
+        extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+        hacked = blob[:12] + extra + blob[12:]
+        hacked = b"RIFF" + struct.pack("<I", len(hacked) - 8) + hacked[8:]
+        got, _, _ = audiocodec.decode_wav(hacked)
+        assert (got == s).all()
+
+    def test_rejects_non_riff_and_non_pcm16(self):
+        from hmse_ray.functions import audiocodec
+
+        with pytest.raises(ValueError):
+            audiocodec.decode_wav(b"nope")
+        with pytest.raises(ValueError):
+            audiocodec.decode_wav(b"RIFF\x04\x00\x00\x00WAVE")
+
+    def test_features_exact_int_arithmetic(self):
+        from hmse_ray.functions import audiocodec
+
+        s = np.array([3, -4, 0], dtype=np.int16)
+        f = audiocodec.audio_features(s, 1000)
+        assert f["n_samples"] == 3 and f["peak"] == 4
+        assert f["rms"] == np.sqrt((9 + 16 + 0) / 3)
+        assert f["duration_ms"] == 3.0
+
+
+class TestVideoCodec:
+    def test_probe_seek_roundtrip(self):
+        from hmse_ray.functions import videocodec
+
+        fr = np.arange(5 * 12 * 16, dtype=np.uint8).reshape(5, 12, 16) % 256
+        blob = videocodec.encode_video(fr)
+        assert videocodec.probe(blob) == (16, 12, 5)
+        assert (videocodec.decode_frame(blob, 4) == fr[4]).all()
+        assert (videocodec.decode_all(blob) == fr).all()
+        with pytest.raises(IndexError):
+            videocodec.decode_frame(blob, 5)
+        with pytest.raises(ValueError):
+            videocodec.probe(b"XXXX\x00\x00\x00\x00\x00\x00")

@@ -207,13 +207,82 @@ class TestMultimodal:
         assert len(out) == 12
         assert all(len(p) == 16 * 8 * 3 for p in out["pixels"])
 
-    def test_audio_video_stubs_raise(self):
+    def test_non_wav_formats_still_gated(self):
         from hmse_ray.stages.multimodal import AudioDecode, VideoFrameSample
 
         with pytest.raises(NotImplementedError):
-            AudioDecode()(pa.table({"clip_id": ["x"], "bytes": [b""], "fmt": ["wav"]}))
+            AudioDecode()(pa.table({"clip_id": ["x"], "bytes": [b""], "fmt": ["mp3"]}))
         with pytest.raises(NotImplementedError):
             VideoFrameSample()(pa.table({"video_id": ["x"], "bytes": [b""], "fmt": ["mp4"]}))
+
+    def test_audio_decode_real_wav(self):
+        import numpy as np
+
+        from hmse_ray.functions import audiocodec
+        from hmse_ray.sources import fixtures
+        from hmse_ray.stages.multimodal import AudioDecode
+
+        s0 = fixtures.audio_samples_for_doc(0, "abcdefgh")
+        s1 = fixtures.audio_samples_for_doc(5, "x" * 200)
+        t = pa.table(
+            {
+                "clip_id": ["a", "b"],
+                "bytes": [
+                    audiocodec.encode_wav(s0, 16000),
+                    audiocodec.encode_wav(s1, 8000),
+                ],
+                "fmt": ["wav", "wav"],
+            }
+        )
+        out = AudioDecode()(t)
+        assert out["sample_rate"].to_pylist() == [16000, 8000]
+        got0 = np.asarray(out["samples"][0].as_py(), dtype=np.int16)
+        assert (got0 == s0).all()
+        assert len(out["samples"][1]) == s1.size
+
+    def test_video_frame_sample_real(self):
+        import numpy as np
+
+        from hmse_ray.functions import videocodec
+        from hmse_ray.sources import fixtures
+        from hmse_ray.stages.multimodal import VideoFrameSample
+
+        fr = fixtures.video_frames_for_doc(7, "y" * 60)
+        t = pa.table(
+            {
+                "video_id": ["v"],
+                "bytes": [videocodec.encode_video(fr)],
+                "fmt": ["hvid"],
+            }
+        )
+        out = VideoFrameSample(every_n=3)(t)
+        idxs = out["frame_idx"].to_pylist()
+        assert idxs == list(range(0, fr.shape[0], 3))
+        px = np.frombuffer(out["pixels"][0].as_py(), np.uint8).reshape(12, 16)
+        assert (px == fr[0]).all()
+
+    def test_audio_video_stages_over_ray(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from hmse_ray.pipelines.queries import audio_features, video_frame_stats
+        from hmse_ray.sources import fixtures
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(0, 40), pa.int64()),
+                "text": [f"document number {i} " + "lorem ipsum " * (i % 9) for i in range(40)],
+            }
+        )
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        af = audio_features(str(tmp_path))
+        assert len(af) == 8  # doc_id % 5 == 0
+        assert (af["n_samples"] >= 800).all()
+        assert (af["rms"] > 0).all()
+        vf = video_frame_stats(str(tmp_path))
+        assert len(vf) == 6  # doc_id % 7 == 0
+        assert (vf["n_sampled"] >= 2).all()
+        # murmur noise pixels: mean luma must hover near 127.5
+        assert ((vf["mean_luma"] - 127.5).abs() < 15).all()
 
 
 class TestDedupStats:
