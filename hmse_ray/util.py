@@ -23,6 +23,30 @@ def tune_data_context(num_cpus: int | None = None) -> None:
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
     ctx.min_parallelism = max(8, 2 * num_cpus)
+    _silence_empty_bundle_warning()
+
+
+class _EmptyBundleFilter:
+    """Drop the 'RefBundle with a different schema' WARNING.
+
+    Our partition fns return TYPED empty tables, but Ray's own
+    sort-based groupby/aggregate operators still emit schema-less empty
+    bundles for empty key ranges (skewed boundaries leave some reduce
+    ranges with zero rows) — harmless, and at bench scale they flood
+    the log tail (VERDICT r02 item 7). The filter is message-targeted,
+    so every other ray.data warning still surfaces.
+    """
+
+    def filter(self, record) -> bool:  # logging.Filter protocol
+        return "RefBundle with a different schema" not in record.getMessage()
+
+
+def _silence_empty_bundle_warning() -> None:
+    import logging
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_EmptyBundleFilter())
 
 
 def join_partitions(cap: int = 64) -> int:

@@ -21,6 +21,19 @@ class TestAnnRecall:
         # approximate paths must find >= 90% of the brute-force top-10
         assert (df["recall_at_k"] >= 0.9).all(), df.to_dict("records")
 
+    def test_fixed_seed_rowcount_pins(self, ray_session):
+        """VERDICT r02 item 10: seeds are fixed, so the approximate
+        candidate sets are deterministic — pin the result row counts
+        (10 queries x k=10 when every query fills its top-k)."""
+        from hmse_ray.pipelines.queries import ann_topk_ivf, ann_topk_lsh
+
+        lsh = ann_topk_lsh(SF).to_pandas()
+        ivf = ann_topk_ivf(SF).to_pandas()
+        assert len(lsh) == 100, len(lsh)
+        assert len(ivf) == 100, len(ivf)
+        assert lsh.groupby("query_id").size().max() <= 10
+        assert ivf.groupby("query_id").size().max() <= 10
+
 
 class TestEmbeddingNearDups:
     def test_planted_pairs_found(self, ray_session):
