@@ -310,24 +310,32 @@ def cluster_from_edges(edges_ds, images_ds, cfg: Config = DEFAULT_CONFIG,
 
         return ids_ds.map_batches(assign, batch_format="pyarrow")
     # distributed path: CC labels for edge-bearing nodes, then a
-    # left-anti fill for singletons via hash join on image_id
-    from hmse_ray.util import join_partitions
+    # left-outer fill for singletons — tasks-only co-partition shuffle
+    # on image_id (not Dataset.join; see aggregates.copartition_two)
+    import numpy as np
+
+    from hmse_ray.stages.aggregates import copartition_two
 
     lbl = components_distributed(edges_ds)
-    joined = ids_ds.join(
-        lbl, join_type="left_outer", num_partitions=join_partitions(),
-        on=("image_id",),
-    )
+    schema = pa.schema([("image_id", pa.string()), ("cluster_id", pa.string())])
 
-    def fill(t: pa.Table) -> pa.Table:
+    def merge(left: pa.Table, right: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = _combine(left["image_id"])
+        if right.num_rows == 0 or left.num_rows == 0:
+            return pa.table({"image_id": ids, "cluster_id": ids})
+        idx = pd.Index(right["image_id"].to_pandas())
+        pos = idx.get_indexer(pd.Index(ids.to_pandas()))
+        taken = _combine(right["cluster_id"]).take(
+            pa.array(np.where(pos >= 0, pos, 0), pa.int64())
+        )
+        matched = pa.array(pos >= 0)
         return pa.table(
-            {
-                "image_id": t["image_id"],
-                "cluster_id": pc.coalesce(t["cluster_id"], t["image_id"]),
-            }
+            {"image_id": ids, "cluster_id": pc.if_else(matched, taken, ids)}
         )
 
-    return joined.map_batches(fill, batch_format="pyarrow")
+    return copartition_two(ids_ds, lbl, "image_id", schema, merge)
 
 
 def cluster_stage(membership_ds, images_ds, cfg: Config = DEFAULT_CONFIG,

@@ -52,9 +52,14 @@ def _silence_empty_bundle_warning() -> None:
 def join_partitions(cap: int = 64) -> int:
     """Hash-join partition count sized to the cluster.
 
-    Ray's hash join spins up aggregator actors per partition; far more
-    partitions than CPUs thrashes actor startup (measured 40x slowdown
-    at 16 partitions on 8 CPUs vs 4). One partition per 2 CPUs, capped.
+    UNUSED as of round 3: every pipeline-interior join is now a
+    tasks-only co-partition shuffle (stages/aggregates.copartition_two)
+    because Ray's hash join spins up aggregator actors per partition
+    and chained joins deadlock-crawled (round-2 gate failure). Kept for
+    callers that still want a sane ``num_partitions`` if they use
+    ``Dataset.join`` directly: far more partitions than CPUs thrashes
+    actor startup (measured 40x slowdown at 16 partitions on 8 CPUs
+    vs 4). One partition per 2 CPUs, capped.
     """
     import ray
 
