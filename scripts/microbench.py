@@ -53,6 +53,31 @@ def main():
     sim_mb = 200 * len(blob) / 1e6
     rows.append(("SimHash decode+sign", timeit(simjob, sim_mb), float("nan")))
 
+    # Audio WAV decode + features (graft r3: pure-numpy RIFF parser)
+    from hmse_ray.functions import audiocodec, videocodec
+
+    samples = rng.integers(-8192, 8192, 2_000_000, dtype=np.int16)
+    wav = audiocodec.encode_wav(samples, 16000)
+    wav_mb = len(wav) / 1e6
+
+    def wavjob():
+        s, rate, _ = audiocodec.decode_wav(wav)
+        audiocodec.audio_features(s, rate)
+
+    rows.append(("Audio WAV decode+features", timeit(wavjob, wav_mb), float("nan")))
+
+    # Video HVID frame sampling (1-in-4 seek reads vs full decode)
+    frames = rng.integers(0, 256, (2000, 12, 16), dtype=np.uint8)
+    vid = videocodec.encode_video(frames)
+    vid_mb = len(vid) / 1e6
+
+    def vidjob():
+        w, h, n = videocodec.probe(vid)
+        for fi in range(0, n, 4):
+            videocodec.decode_frame(vid, fi)
+
+    rows.append(("Video HVID 1-in-4 frame sample", timeit(vidjob, vid_mb), float("nan")))
+
     lines = [
         "| kernel | this repo (MB/s, 1 core) | reference budget (MB/s, ESP32-S3) |",
         "|---|---|---|",
