@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "ann_topk",
     "minhash_doc_pairs",
     "doc_clusters",
+    "audio_features",
+    "video_frame_stats",
 ]
 
 

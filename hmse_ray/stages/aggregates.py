@@ -175,7 +175,12 @@ def gather_lookup(members: pa.Table, member_key: str,
     ``take_cols`` (src->dst names) from the matching ``lookup`` row to
     each ``members`` row; members with no match are dropped. The key
     index is a pandas C hash probe; payload columns are gathered with
-    arrow ``take`` (no boxing of binary cells)."""
+    arrow ``take`` (no boxing of binary cells).
+
+    ``lookup[lookup_key]`` must be UNIQUE (one payload row per key —
+    true for every caller: cluster canonicals, cluster assignments,
+    original rows). pandas raises loudly on duplicates rather than
+    silently picking one."""
     if members.num_rows == 0 or lookup.num_rows == 0:
         cols = list(members.columns)
         out_names = list(members.column_names)
