@@ -195,7 +195,15 @@ def decode_resize_stage(images_ds, out_w: int = 32, out_h: int = 24,
 
 def audio_decode_stage(clips_ds, concurrency=None, batch_size: int = 64):
     """clips -> decoded PCM sample rows (actor pool; small batches —
-    rows carry whole waveforms)."""
+    rows carry whole waveforms).
+
+    Scale note: the decoded ``samples`` column is payload-heavy and an
+    actor-pool stage does not fuse with the downstream task stage, so
+    samples cross the object store once (streamed + spillable). For a
+    features-only consumer at the 100-TB scale, fold the per-clip
+    reduction into the actor's __call__ instead of materializing
+    samples — the queries keep the two-stage shape because it
+    exercises the decode stage's real output contract."""
     return clips_ds.map_batches(
         AudioDecode,
         batch_format="pyarrow",
