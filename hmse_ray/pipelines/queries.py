@@ -1388,16 +1388,34 @@ def ngram_jaccard_pairs(sf_dir, threshold: float = 0.7):
     return exact_jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold)
 
 
+_IMG_CLUSTERS_CACHE: dict = {}
+
+
+def _images_and_clusters(sf_dir):
+    """Derived images table + cluster assignments, materialized ONCE per
+    sf_dir per process: store_kind_stats, roundtrip_invariant and
+    image_clusters all consume the identical deterministic derivation,
+    and the driver gate runs them back-to-back — the memo cuts ~2x
+    clustering recompute (~15 s each at sf0.01) from the gate."""
+    if sf_dir not in _IMG_CLUSTERS_CACHE:
+        from hmse_ray.pipelines import dedup
+        from hmse_ray.sources import fixtures
+
+        images = fixtures.images_from_documents_ds(sf_dir).materialize()
+        clusters = dedup.cluster_assignments(images, CFG).materialize()
+        if len(_IMG_CLUSTERS_CACHE) >= 2:  # bound object-store pins
+            _IMG_CLUSTERS_CACHE.pop(next(iter(_IMG_CLUSTERS_CACHE)))
+        _IMG_CLUSTERS_CACHE[sf_dir] = (images, clusters)
+    return _IMG_CLUSTERS_CACHE[sf_dir]
+
+
 def store_kind_stats_docs(sf_dir):
     """M7/A6 (rows-only): full/pointer/delta store-kind histogram over
     the images-from-documents table — drives the store write path
     (stages/store.py) through the driver gate (VERDICT r01 item 4)."""
-    from hmse_ray.pipelines import dedup
-    from hmse_ray.sources import fixtures
     from hmse_ray.stages import store as store_stage
 
-    images = fixtures.images_from_documents_ds(sf_dir).materialize()
-    clusters = dedup.cluster_assignments(images, CFG)
+    images, clusters = _images_and_clusters(sf_dir)
     st = store_stage.store_table(images, clusters, CFG)
     return store_stage.store_kind_stats(st).to_pandas().sort_values(
         "store_kind"
@@ -1408,11 +1426,9 @@ def roundtrip_invariant(sf_dir):
     """M8/M9/J3/J4 (rows-only): store -> reconstruct -> per-row invariant
     (byte-exact captions, lossless pixels / PSNR >= 40 dB) over the
     images-from-documents table; one row of pass counts."""
-    from hmse_ray.pipelines import dedup, verify as verify_pipe
-    from hmse_ray.sources import fixtures
+    from hmse_ray.pipelines import verify as verify_pipe
 
-    images = fixtures.images_from_documents_ds(sf_dir).materialize()
-    clusters = dedup.cluster_assignments(images, CFG)
+    images, clusters = _images_and_clusters(sf_dir)
     agg = verify_pipe.roundtrip(images, clusters, CFG)
     return pd.DataFrame([agg])
 
@@ -1728,12 +1744,9 @@ def random_pair_true_jaccard_hist(sf_dir, n_bins: int = 10):
 
 def image_clusters(sf_dir):
     """Flagship (rows-only): image+caption table derived (STREAMING,
-    inside map_batches) from documents -> full dedup cluster assignment."""
-    from hmse_ray.pipelines import dedup
-    from hmse_ray.sources import fixtures
-
-    images = fixtures.images_from_documents_ds(sf_dir).materialize()
-    return dedup.cluster_assignments(images, CFG)
+    inside map_batches) from documents -> full dedup cluster assignment.
+    Shares the per-sf_dir memo with the store/verify queries."""
+    return _images_and_clusters(sf_dir)[1]
 
 
 # ------------------------------------------------------------------ oracles
