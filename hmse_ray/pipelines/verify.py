@@ -88,18 +88,29 @@ def reconstruct(store_ds, cfg: Config = DEFAULT_CONFIG, num_partitions: int | No
 def _check_batch(batch: pa.Table, cfg: Config) -> pa.Table:
     """Per-row invariant over merged (restored x original) rows -> one
     stats row: n_rows, caption_pass, pixel_pass, min_psnr (inf -> 1e9
-    sentinel for finite aggregation)."""
+    sentinel for finite aggregation).
+
+    The caption half is a vectorized arrow equality (VERDICT r3 item 6);
+    the remaining per-row loop is only decode + PSNR (inherently
+    per-row), with the cell columns unboxed ONCE per batch instead of
+    an .as_py() per cell."""
+    import pyarrow.compute as pc
+
     n = batch.num_rows
-    cap_ok = pix_ok = 0
+    cap_ok = 0
+    if n:
+        eq = pc.equal(batch["caption_restored"], batch["caption_orig"])
+        cap_ok = int(pc.sum(pc.cast(eq, pa.int64())).as_py() or 0)
+    fmts = batch["fmt"].to_pylist()
+    ws = batch["w"].to_pylist()
+    hs = batch["h"].to_pylist()
+    # pointer rows carry no own payload -> canonical image bytes
+    stored_col = pc.coalesce(batch["image_payload"], batch["canon_image"]).to_pylist()
+    orig_col = batch["bytes_orig"].to_pylist()
+    pix_ok = 0
     min_psnr = float("inf")
-    for i in range(n):
-        cap_ok += batch["caption_restored"][i].as_py() == batch["caption_orig"][i].as_py()
-        fmt = batch["fmt"][i].as_py()
-        w, h = batch["w"][i].as_py(), batch["h"][i].as_py()
-        stored = batch["image_payload"][i].as_py()
-        if stored is None:  # pointer -> canonical image bytes
-            stored = batch["canon_image"][i].as_py()
-        orig_px = imagecodec.decode(batch["bytes_orig"][i].as_py(), w, h, fmt)
+    for fmt, w, h, stored, orig in zip(fmts, ws, hs, stored_col, orig_col):
+        orig_px = imagecodec.decode(orig, w, h, fmt)
         got_px = imagecodec.decode(stored, w, h, fmt)
         if imagecodec.is_lossless(fmt):
             ok = bool((orig_px == got_px).all())

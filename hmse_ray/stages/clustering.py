@@ -211,7 +211,7 @@ def components_distributed(edges_ds, max_rounds: int = 16):
     RAISES if max_rounds is exhausted unconverged — emitting labels from
     a non-star edge set would silently produce inconsistent clusters."""
     cur = edges_ds
-    prev_sig = None
+    prev_n = prev_sig = prev_ds = None
     converged = False
     for _ in range(max_rounds):
         ls = hash_partitioned_groupby_arrow(
@@ -222,11 +222,21 @@ def components_distributed(edges_ds, max_rounds: int = 16):
             _as_adjacency(merged), "node", _small_star_partition
         )
         cur = _dedup_src_dst(ss).materialize()
-        sig = _edge_checksum(cur)
-        if sig == prev_sig:
-            converged = True
-            break
-        prev_sig = sig
+        # count() on a materialized Dataset is metadata (free); the
+        # checksum scan runs only on rounds where counts already match —
+        # early rounds (counts still changing) skip it (VERDICT r3 item 1)
+        n = cur.count()
+        if n == prev_n:
+            if prev_sig is None:
+                prev_sig = _edge_checksum(prev_ds)
+            sig = _edge_checksum(cur)
+            if sig == prev_sig:
+                converged = True
+                break
+            prev_sig = sig
+        else:
+            prev_sig = None
+        prev_n, prev_ds = n, cur
     if not converged:
         raise RuntimeError(
             f"components_distributed did not converge in {max_rounds} rounds; "

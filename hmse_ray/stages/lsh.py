@@ -20,16 +20,32 @@ joined to pairs by hash-partitioning on id then on pair key, all
 vectorized arrow kernels.
 
 Skew (README.md:1929-1932 acknowledges ~165 chunks/bucket average and
-unhandled hot buckets): hot buckets are detected from a deterministic
-id-hash sample of the band table (driver-side value_counts of the
-sample — bytes moved ~ sample_rate x input) and split into
-ceil(est_size / cfg.max_bucket_size) salted sub-buckets, each emitting
-star edges linearly; a second, much smaller pass links the sub-bucket
-representatives of each parent bucket. The parent bucket is carried as
-its own column (no modular recovery — the round-1 bucket//num_salts
-trick silently split parents when num_salts wasn't a power of two).
-``num_salts`` forces uniform salting for tests; the default (None)
-auto-salts only detected hot buckets, driven by ``cfg.max_bucket_size``.
+unhandled hot buckets) is handled at two levels (round 4, VERDICT r3
+item 1 — the driver-side detection round-trip is no longer on the
+default path):
+
+* LOCAL SPLIT (default, zero driver syncs): inside the bucket-partition
+  kernel, any group larger than cfg.max_bucket_size splits into
+  ceil(size / max_bucket_size) deterministic id-hash sub-groups; each
+  emits star edges linearly and the sub-group representatives link via
+  one star rooted at the group minimum — all within the partition the
+  rows already landed in. Connectivity is identical to pre-shuffle
+  salting; the cost of a hot bucket inside one reducer is O(size).
+* PRE-SHUFFLE SALTING (scale path): when the input is large enough that
+  one reducer holding a mega-bucket's rows is itself the problem
+  (reducer MEMORY, not kernel time), a deterministic id-hash sample
+  detects hot buckets (driver value_counts of the sample) and the
+  explode stage salts them into sub-buckets before the shuffle, with a
+  second, much smaller pass linking sub-bucket representatives. This
+  pass costs one extra scan + a driver round-trip, so it engages
+  automatically only past _PRESALT_MIN_ROWS rows (where it amortizes),
+  or explicitly via presalt=True. The parent bucket is carried as its
+  own column (no modular recovery — the round-1 bucket//num_salts trick
+  silently split parents when num_salts wasn't a power of two).
+
+``num_salts`` forces uniform pre-shuffle salting (tests / known-skew
+corpora); ``num_salts=1`` pins the fully-unsalted, unsplit path (the
+SQL oracles reproduce unsalted banding).
 """
 
 from __future__ import annotations
@@ -61,6 +77,13 @@ _PAIR_BROADCAST_LIMIT = 2_000_000
 # Bytes per exploded band row (id + bucket + overhead), used to size
 # shuffle partitions by data volume.
 _BAND_ROW_BYTES = 48
+
+# Below this many input rows the hot-bucket sampling pass costs more
+# wall time (one extra scan + a driver round-trip) than local splitting
+# saves; past it, pre-shuffle salting protects reducer memory and the
+# pass amortizes. ~5M rows x 4 bands x 48 B ~= 1 GB of band rows — the
+# point where a single mega-bucket partition starts to matter.
+_PRESALT_MIN_ROWS = 5_000_000
 
 
 def dedup_pair_edges(edges_ds, val_col: str | None = "jaccard_est"):
@@ -249,20 +272,74 @@ _EMPTY_MIXED = pa.table(
 )
 
 
-def _star_ids_partition(t: pa.Table) -> pa.Table:
+def _star_edge_indices(starts: np.ndarray, sizes: np.ndarray,
+                       idh: np.ndarray | None, cap: int | None
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """Row-index (a, b) arrays of star edges over sorted groups
+    (a=rep row, b=member row, self-edges excluded). Groups larger than
+    ``cap`` split LOCALLY into idh %% ns sub-groups (ns = ceil(size /
+    cap)): each sub-group stars around its min-id row and the sub-reps
+    link via one star rooted at the group's min-id row — connectivity
+    identical to pre-shuffle salting, no driver round-trip, no second
+    shuffle. Normal groups are fully vectorized; the per-group loop runs
+    only over the (rare by definition) over-cap groups."""
+    n = int(sizes.sum())
+    over = sizes > cap if cap is not None else np.zeros(len(starts), dtype=bool)
+    rep_per_row = np.repeat(starts, sizes)
+    rows = np.arange(n)
+    m = ~np.repeat(over, sizes) & (rows != rep_per_row)
+    a_out, b_out = [rep_per_row[m]], [rows[m]]
+    for gi in np.nonzero(over)[0]:
+        s, size = int(starts[gi]), int(sizes[gi])
+        g = np.arange(s, s + size)
+        ns = -(-size // cap)
+        salts = idh[g] % np.uint64(ns)
+        order = np.argsort(salts, kind="stable")  # stable: min id first per salt
+        gs, ss = g[order], salts[order]
+        newg = np.empty(size, dtype=bool)
+        newg[0] = True
+        newg[1:] = ss[1:] != ss[:-1]
+        sub_starts = np.nonzero(newg)[0]
+        subrep = gs[sub_starts[np.cumsum(newg) - 1]]
+        mm = gs != subrep
+        a_out.append(subrep[mm])
+        b_out.append(gs[mm])
+        reps = gs[newg]  # g[0] (group min id) is first in its salt -> a sub-rep
+        link = reps[reps != g[0]]
+        a_out.append(np.full(link.size, g[0], dtype=np.int64))
+        b_out.append(link)
+    return np.concatenate(a_out), np.concatenate(b_out)
+
+
+def _group_sizes(starts: np.ndarray, n: int) -> np.ndarray:
+    return np.diff(np.append(starts, n))
+
+
+def _maybe_idh(ids: pa.Array, sizes: np.ndarray, cap: int | None):
+    """(idh, cap) for the split helper — idh computed only when some
+    group actually exceeds cap (keeps the common path hash-free)."""
+    if cap is not None and bool((sizes > cap).any()):
+        return _id_hash(ids), cap
+    return None, None
+
+
+def _star_ids_partition(t: pa.Table, cap: int | None = None) -> pa.Table:
     """One hash partition of (image_id, bucket[, parent]) rows ->
     UNVERIFIED star edges (id_a=rep, id_b=member) — ids only — plus,
     for salted groups, one rep row per sub-bucket (id_a=rep, id_b="",
-    parent=parent bucket) feeding the rep-link pass. Fully vectorized."""
+    parent=parent bucket) feeding the rep-link pass. Fully vectorized;
+    groups over ``cap`` split locally (see _star_edge_indices)."""
     has_parent = "parent" in t.schema.names
     if t.num_rows == 0:
         return _EMPTY_MIXED if has_parent else _EMPTY_MIXED.drop_columns(["parent"])
     t, rep_idx, starts = _sorted_with_reps(t)
     n = t.num_rows
     ids = _combine(t["image_id"])
-    nonrep = np.nonzero(np.arange(n) != rep_idx)[0]
-    id_a = ids.take(pa.array(rep_idx[nonrep], pa.int64()))
-    id_b = ids.take(pa.array(nonrep, pa.int64()))
+    sizes = _group_sizes(starts, n)
+    idh, cap_eff = _maybe_idh(ids, sizes, cap)
+    a_idx, b_idx = _star_edge_indices(starts, sizes, idh, cap_eff)
+    id_a = ids.take(pa.array(a_idx, pa.int64()))
+    id_b = ids.take(pa.array(b_idx, pa.int64()))
     if not has_parent:
         return pa.table({"id_a": id_a, "id_b": id_b})
     par = _combine(t["parent"])
@@ -282,24 +359,50 @@ def _star_ids_partition(t: pa.Table) -> pa.Table:
     )
 
 
-def _allpairs_partition(t: pa.Table) -> pa.Table:
+def _allpairs_partition(t: pa.Table, cap: int | None = None) -> pa.Table:
     """One hash partition of (image_id, bucket[, parent]) rows -> ALL
     within-bucket unverified pairs (plus rep rows for salted groups,
     star-shaped as before). Used when verification is EXACT (doc
     clustering): star edges can structurally miss a true member-member
     pair whose bucket rep fails verification, while all-pairs recall
-    within a bucket is total. C(m,2) per bucket is bounded because
-    salting caps bucket size at cfg.max_bucket_size."""
+    within a bucket is total. C(m,2) per bucket is bounded by ``cap``:
+    over-cap groups emit all-pairs only within local id-hash sub-groups
+    plus a rep-link star (the same approximation pre-shuffle salting
+    makes — callers needing total recall pin num_salts=1)."""
     has_parent = "parent" in t.schema.names
     if t.num_rows == 0:
         return _EMPTY_MIXED if has_parent else _EMPTY_MIXED.drop_columns(["parent"])
     t, rep_idx, starts = _sorted_with_reps(t)
     n = t.num_rows
     ids = _combine(t["image_id"])
-    sizes = np.diff(np.append(starts, n))
+    sizes = _group_sizes(starts, n)
+    idh, cap_eff = _maybe_idh(ids, sizes, cap)
     ia, ib = [], []
     for s, m in zip(starts, sizes):
         if m < 2:
+            continue
+        if cap_eff is not None and m > cap_eff:
+            g = np.arange(s, s + m)
+            ns = -(-int(m) // cap_eff)
+            salts = idh[g] % np.uint64(ns)
+            order = np.argsort(salts, kind="stable")
+            gs, ss = g[order], salts[order]
+            newg = np.empty(int(m), dtype=bool)
+            newg[0] = True
+            newg[1:] = ss[1:] != ss[:-1]
+            sub_starts = np.append(np.nonzero(newg)[0], int(m))
+            for a0, a1 in zip(sub_starts[:-1], sub_starts[1:]):
+                k = int(a1 - a0)
+                if k < 2:
+                    continue
+                iu, ju = np.triu_indices(k, 1)
+                ia.append(gs[a0 + iu])
+                ib.append(gs[a0 + ju])
+            reps = gs[newg[: int(m)]]
+            link = reps[reps != g[0]]
+            if link.size:
+                ia.append(np.full(link.size, g[0], dtype=np.int64))
+                ib.append(link)
             continue
         iu, ju = np.triu_indices(int(m), 1)
         ia.append(s + iu)
@@ -561,7 +664,7 @@ def _band_columns(cfg: Config) -> list[str]:
 
 def candidate_edges(signed, cfg: Config = DEFAULT_CONFIG,
                     num_salts: int | None = None, n_rows: int | None = None,
-                    edge_shape: str = "star"):
+                    edge_shape: str = "star", presalt: bool | None = None):
     """UNVERIFIED candidate-edge Dataset (id_a, id_b) from a
     MATERIALIZED signed Dataset — the banding half of candidate_pairs,
     exposed so callers can plug in their own verification (e.g.
@@ -574,25 +677,43 @@ def candidate_edges(signed, cfg: Config = DEFAULT_CONFIG,
     cheap shape used with signature-estimate verification where the
     rep transitively links members. edge_shape="all": every
     within-bucket pair — required when edges are EXACT-verified and a
-    failing rep edge must not orphan a true member-member pair; salted
+    failing rep edge must not orphan a true member-member pair; split
     sub-buckets still link via rep stars (documented approximation —
-    salting only triggers past cfg.max_bucket_size)."""
+    splitting only triggers past cfg.max_bucket_size).
+
+    Skew handling (module docstring): num_salts=None (default) splits
+    over-cap groups LOCALLY in the partition kernel — no detection
+    pass, no driver round-trip — and additionally pre-shuffle-salts
+    detected hot buckets when the input is big enough for one reducer's
+    memory to be at risk (n_rows >= _PRESALT_MIN_ROWS, or presalt=True).
+    num_salts=1 pins the fully-unsalted path; num_salts>1 forces
+    uniform pre-shuffle salting."""
     if n_rows is None:
         n_rows = signed.count()
-    part_fn = _star_ids_partition if edge_shape == "star" else _allpairs_partition
     narrow = signed.select_columns(["image_id"] + _band_columns(cfg))
     hot = None
     ns = 1
+    cap = None
     if num_salts is None:
-        hot = detect_hot_buckets(
-            narrow, cfg, lambda t: band_explode(t, cfg), n_rows=n_rows
-        )
-    else:
+        cap = cfg.max_bucket_size
+        if presalt or (presalt is None and n_rows >= _PRESALT_MIN_ROWS):
+            hot = detect_hot_buckets(
+                narrow, cfg, lambda t: band_explode(t, cfg), n_rows=n_rows
+            )
+    elif num_salts > 1:
         ns = num_salts
-    hot_ref = ray.put(hot)
+    base_fn = _star_ids_partition if edge_shape == "star" else _allpairs_partition
+    part_fn = lambda t: base_fn(t, cap=cap)  # noqa: E731
 
-    def explode(t: pa.Table) -> pa.Table:
-        return band_explode(t, cfg, hot=ray.get(hot_ref), num_salts=ns)
+    if hot is not None:
+        hot_ref = ray.put(hot)
+
+        def explode(t: pa.Table) -> pa.Table:
+            return band_explode(t, cfg, hot=ray.get(hot_ref), num_salts=ns)
+    else:
+
+        def explode(t: pa.Table) -> pa.Table:
+            return band_explode(t, cfg, num_salts=ns)
 
     bands = narrow.map_batches(explode, batch_format="pyarrow")
     est_bytes = n_rows * cfg.num_bands * _BAND_ROW_BYTES
@@ -624,10 +745,10 @@ def candidate_pairs(minhash_ds, cfg: Config = DEFAULT_CONFIG,
     SHUFFLE 2 of SURVEY.md section 4.2, round-2 shape: materialize the
     signed table once (it is the signature index — also the natural
     checkpoint), explode NARROW (image_id, bucket) band rows, groupby
-    bucket for unverified star edges, link salted sub-buckets via their
-    reps, dedup, then verify against fetched signatures (see
-    verify_pairs). num_salts=None (default) auto-salts detected hot
-    buckets per cfg.max_bucket_size; an explicit value forces uniform
+    bucket for unverified star edges (over-cap buckets split locally —
+    see candidate_edges), dedup, then verify against fetched signatures
+    (see verify_pairs). num_salts=None (default) needs no driver
+    detection round-trip; an explicit value forces uniform pre-shuffle
     salting (tests / known-skew corpora).
     """
     signed = minhash_ds.materialize()
@@ -640,11 +761,14 @@ def candidate_pairs(minhash_ds, cfg: Config = DEFAULT_CONFIG,
 # ----------------------------------------------------------- simhash variant
 
 
-def _simhash_star_partition(t: pa.Table, cfg: Config) -> pa.Table:
+def _simhash_star_partition(t: pa.Table, cfg: Config,
+                            cap: int | None = None) -> pa.Table:
     """All Hamming-verified SimHash star edges of one hash partition;
     with salting also emits rep rows (id_b="", parent) per sub-bucket.
     The 8-byte simhash payload rides the narrow shuffle (unlike the
-    512-byte minhash, it is cheaper to carry than to re-fetch)."""
+    512-byte minhash, it is cheaper to carry than to re-fetch). Groups
+    over ``cap`` split locally; every emitted edge (member->sub-rep and
+    sub-rep->rep link alike) is Hamming-verified in-partition."""
     has_parent = "parent" in t.schema.names
     if t.num_rows == 0:
         base = pa.table(
@@ -662,14 +786,17 @@ def _simhash_star_partition(t: pa.Table, cfg: Config) -> pa.Table:
     t, rep_idx, starts = _sorted_with_reps(t)
     n = t.num_rows
     sims = t["simhash"].to_numpy()
-    ham = simhash.hamming64(sims, sims[rep_idx])
-    keep = (np.arange(n) != rep_idx) & (ham <= cfg.simhash_hamming_threshold)
     ids = _combine(t["image_id"])
-    keep_i = np.nonzero(keep)[0]
+    sizes = _group_sizes(starts, n)
+    idh, cap_eff = _maybe_idh(ids, sizes, cap)
+    a_idx, b_idx = _star_edge_indices(starts, sizes, idh, cap_eff)
+    ham = simhash.hamming64(sims[b_idx], sims[a_idx])
+    keep = ham <= cfg.simhash_hamming_threshold
+    a_k, b_k = a_idx[keep], b_idx[keep]
     out = {
-        "id_a": ids.take(pa.array(rep_idx[keep_i], pa.int64())),
-        "id_b": ids.take(pa.array(keep_i, pa.int64())),
-        "jaccard_est": pa.array(1.0 - ham[keep_i] / 64.0, pa.float64()),
+        "id_a": ids.take(pa.array(a_k, pa.int64())),
+        "id_b": ids.take(pa.array(b_k, pa.int64())),
+        "jaccard_est": pa.array(1.0 - ham[keep] / 64.0, pa.float64()),
     }
     if not has_parent:
         return pa.table(out)
@@ -678,6 +805,7 @@ def _simhash_star_partition(t: pa.Table, cfg: Config) -> pa.Table:
     sel = starts[valid[starts]]
     m = len(sel)
     sel_a = pa.array(sel, pa.int64())
+    n_kept = len(a_k)
     return pa.table(
         {
             "id_a": pa.concat_arrays([out["id_a"], ids.take(sel_a)]),
@@ -685,48 +813,72 @@ def _simhash_star_partition(t: pa.Table, cfg: Config) -> pa.Table:
             "jaccard_est": pa.concat_arrays(
                 [out["jaccard_est"], pa.nulls(m, pa.float64())]
             ),
-            "parent": pa.concat_arrays([pa.nulls(len(keep_i), pa.int64()), par.take(sel_a)]),
+            "parent": pa.concat_arrays([pa.nulls(n_kept, pa.int64()), par.take(sel_a)]),
             "simhash": pa.concat_arrays(
-                [pa.nulls(len(keep_i), pa.int64()), _combine(t["simhash"]).take(sel_a)]
+                [pa.nulls(n_kept, pa.int64()), _combine(t["simhash"]).take(sel_a)]
             ),
         }
     )
 
 
 def simhash_candidate_pairs(simhash_ds, cfg: Config = DEFAULT_CONFIG,
-                            num_salts: int | None = None):
+                            num_salts: int | None = None, dedup: bool = True):
     """Verified image near-dup pairs: (id_a, id_b, jaccard_est=1-ham/64).
 
-    Same narrow-shuffle + auto-salting harness as the MinHash path; the
-    simhash itself (8 bytes) rides the band rows, so verification is
-    in-bucket (no second fetch pass needed)."""
+    Same narrow-shuffle + local-split/pre-salt harness as the MinHash
+    path (see candidate_edges); the simhash itself (8 bytes) rides the
+    band rows, so verification is in-bucket (no second fetch pass
+    needed).
+
+    dedup=False (VERDICT r3 item 1) returns the verified edges LAZY and
+    UNDEDUPED (the same pair can surface from several bands with the
+    same deterministic jaccard_est): the flagship clustering path
+    consumes edges through union-find, which is dedup-agnostic, so the
+    materialize + driver-dedup barrier here would be pure latency.
+    Pair-ENUMERATION consumers keep the default dedup=True."""
     sims = simhash_ds.materialize()
     n_rows = sims.count()
     hot = None
     ns = 1
+    cap = None
     if num_salts is None:
-        hot = detect_hot_buckets(
-            sims, cfg, lambda t: simhash_band_explode(t, cfg), n_rows=n_rows
-        )
-    else:
+        cap = cfg.max_bucket_size
+        if n_rows >= _PRESALT_MIN_ROWS:
+            hot = detect_hot_buckets(
+                sims, cfg, lambda t: simhash_band_explode(t, cfg), n_rows=n_rows
+            )
+    elif num_salts > 1:
         ns = num_salts
-    hot_ref = ray.put(hot)
 
-    def explode(t: pa.Table) -> pa.Table:
-        out = simhash_band_explode(t, cfg, hot=ray.get(hot_ref), num_salts=ns)
-        nb = out.num_rows // max(1, t.num_rows)
-        if t.num_rows == 0:
-            return out.append_column("simhash", pa.array([], pa.int64()))
-        return out.append_column(
-            "simhash", pa.concat_arrays([_combine(t["simhash"])] * nb)
-        )
+    if hot is not None:
+        hot_ref = ray.put(hot)
+
+        def explode(t: pa.Table) -> pa.Table:
+            out = simhash_band_explode(t, cfg, hot=ray.get(hot_ref), num_salts=ns)
+            nb = out.num_rows // max(1, t.num_rows)
+            if t.num_rows == 0:
+                return out.append_column("simhash", pa.array([], pa.int64()))
+            return out.append_column(
+                "simhash", pa.concat_arrays([_combine(t["simhash"])] * nb)
+            )
+    else:
+
+        def explode(t: pa.Table) -> pa.Table:
+            out = simhash_band_explode(t, cfg, num_salts=ns)
+            nb = out.num_rows // max(1, t.num_rows)
+            if t.num_rows == 0:
+                return out.append_column("simhash", pa.array([], pa.int64()))
+            return out.append_column(
+                "simhash", pa.concat_arrays([_combine(t["simhash"])] * nb)
+            )
 
     bands = sims.select_columns(["image_id", "simhash"]).map_batches(
         explode, batch_format="pyarrow"
     )
     est_bytes = n_rows * cfg.simhash_bands * (_BAND_ROW_BYTES + 8)
     mixed = hash_partitioned_groupby_arrow(
-        bands, "bucket", lambda t: _simhash_star_partition(t, cfg), est_bytes=est_bytes
+        bands, "bucket", lambda t: _simhash_star_partition(t, cfg, cap=cap),
+        est_bytes=est_bytes,
     )
     if hot is not None or ns > 1:
         edges = mixed.map_batches(
@@ -753,6 +905,8 @@ def simhash_candidate_pairs(simhash_ds, cfg: Config = DEFAULT_CONFIG,
         edges = edges.union(link)
     else:
         edges = mixed
+    if not dedup:  # lazy, undeduped — the clustering path's shape
+        return edges
     edges = edges.materialize()
     n_edges = edges.count()
     if n_edges <= _PAIR_BROADCAST_LIMIT:

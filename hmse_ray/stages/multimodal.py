@@ -73,11 +73,20 @@ class AudioDecode:
     Input: (clip_id: string, bytes: binary, fmt: string)
     Output: (clip_id, samples: list<int16>, sample_rate: int32,
              n_channels: int32) — decoded PCM, mixed down column-major.
+
+    features_only=True (VERDICT r3 item 7) folds the per-clip feature
+    reduction into the actor instead of emitting the payload-heavy
+    ``samples`` column: output becomes (clip_id, n_samples, sample_rate,
+    duration_ms, rms, peak) — identical values to running the two-stage
+    decode -> features pipeline (pinned by test), with the decoded
+    waveform never crossing the object store. This is the shape a
+    features-only consumer wants at 100-TB scale.
     """
 
-    def __init__(self):
+    def __init__(self, features_only: bool = False):
         from hmse_ray.functions import audiocodec
 
+        self.features_only = features_only
         self._codec = audiocodec
         try:  # pragma: no cover - not installed in this container
             import soundfile  # noqa: F401
@@ -94,7 +103,12 @@ class AudioDecode:
                 f"decoding '{fmt}' requires the optional 'soundfile' "
                 "dependency (absent in this container); the WAV path is real"
             )
-        data, rate = self._sf.read(__import__("io").BytesIO(blob))  # pragma: no cover
+        # dtype='int16' keeps the output contract identical to the WAV
+        # path (int16 PCM); soundfile's default float64 in [-1, 1] would
+        # truncate to 0/±1 under the astype(int16) in __call__ (ADVICE r3)
+        data, rate = self._sf.read(  # pragma: no cover
+            __import__("io").BytesIO(blob), dtype="int16"
+        )
         return data, rate, (data.shape[1] if data.ndim > 1 else 1)  # pragma: no cover
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -107,6 +121,8 @@ class AudioDecode:
             rates.append(rate)
             chans.append(n_ch)
             offsets.append(offsets[-1] + s.size)
+        if self.features_only:
+            return _clip_features(ids, out_samples, rates)
         flat = (
             np.concatenate(out_samples) if out_samples else np.empty(0, np.int16)
         )
@@ -122,10 +138,36 @@ class AudioDecode:
         )
 
 
+def _clip_features(ids, out_samples: list[np.ndarray], rates: list[int]) -> pa.Table:
+    """Per-clip features from decoded int16 PCM — value-identical to the
+    two-stage decode -> features pipeline (integer sum of squares, then
+    the same float64 ops), so the fused path keeps the SQL oracle."""
+    n = np.array([s.size for s in out_samples], dtype=np.int64)
+    sum_sq = np.array(
+        [int((s.astype(np.int64) ** 2).sum()) for s in out_samples], dtype=np.int64
+    )
+    peak = np.array(
+        [int(np.abs(s.astype(np.int64)).max()) if s.size else 0 for s in out_samples],
+        dtype=np.int64,
+    )
+    rate = np.array(rates, dtype=np.float64)
+    return pa.table(
+        {
+            "clip_id": ids,
+            "n_samples": pa.array(n, pa.int64()),
+            "sample_rate": pa.array(np.array(rates, dtype=np.int64), pa.int64()),
+            "duration_ms": pa.array(n.astype(np.float64) * 1000.0 / rate, pa.float64()),
+            "rms": pa.array(np.sqrt(sum_sq / np.maximum(n, 1)), pa.float64()),
+            "peak": pa.array(peak, pa.int64()),
+        }
+    )
+
+
 class VideoFrameSample:
     """Video frame-sampling stage — REAL for the engine's HVID
     frame-concat container (functions/videocodec.py, header seek +
-    per-frame reads); av-gated for real codecs.
+    per-frame reads). Non-HVID formats raise NotImplementedError
+    unconditionally (no real-codec decode path is wired up yet).
 
     Input: (video_id: string, bytes: binary, fmt: string)
     Output: one row PER SAMPLED FRAME (video_id, frame_idx: int32,
@@ -138,12 +180,6 @@ class VideoFrameSample:
 
         self.every_n = every_n
         self._codec = videocodec
-        try:  # pragma: no cover
-            import av  # noqa: F401
-
-            self._av = av
-        except ImportError:
-            self._av = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         vids, idxs, totals, ws, hs, pixels = [], [], [], [], [], []
@@ -153,12 +189,14 @@ class VideoFrameSample:
             batch["fmt"].to_pylist(),
         ):
             if fmt != "hvid":
-                if self._av is None:  # pragma: no cover
-                    raise NotImplementedError(
-                        f"decoding '{fmt}' requires the optional 'av' "
-                        "dependency (absent); the HVID path is real"
-                    )
-                continue  # pragma: no cover
+                # unconditional until an av decode path exists: with av
+                # importable, skipping the row would be SILENT data loss
+                # behind a docstring that promises real decode (ADVICE r3)
+                raise NotImplementedError(
+                    f"decoding '{fmt}' requires a real-codec path (the "
+                    "optional 'av' dependency is not wired up yet); the "
+                    "HVID path is real"
+                )
             w, h, n = self._codec.probe(blob)
             for fi in range(0, n, self.every_n):
                 vids.append(vid)
@@ -193,19 +231,19 @@ def decode_resize_stage(images_ds, out_w: int = 32, out_h: int = 24,
     )
 
 
-def audio_decode_stage(clips_ds, concurrency=None, batch_size: int = 64):
+def audio_decode_stage(clips_ds, concurrency=None, batch_size: int = 64,
+                       features_only: bool = False):
     """clips -> decoded PCM sample rows (actor pool; small batches —
     rows carry whole waveforms).
 
-    Scale note: the decoded ``samples`` column is payload-heavy and an
-    actor-pool stage does not fuse with the downstream task stage, so
-    samples cross the object store once (streamed + spillable). For a
-    features-only consumer at the 100-TB scale, fold the per-clip
-    reduction into the actor's __call__ instead of materializing
-    samples — the queries keep the two-stage shape because it
-    exercises the decode stage's real output contract."""
+    features_only=True is the 100-TB shape for feature consumers: the
+    per-clip reduction happens inside the actor's __call__ and the
+    payload-heavy ``samples`` column never crosses the object store
+    (VERDICT r3 item 7). The default two-stage shape remains for
+    consumers that need the decoded waveform itself."""
     return clips_ds.map_batches(
         AudioDecode,
+        fn_constructor_kwargs={"features_only": features_only},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency or (1, 8),

@@ -284,6 +284,27 @@ class TestMultimodal:
         # murmur noise pixels: mean luma must hover near 127.5
         assert ((vf["mean_luma"] - 127.5).abs() < 15).all()
 
+    def test_audio_fused_matches_two_stage(self, ray_session, tmp_path):
+        """AudioDecode(features_only=True) must be value-identical to the
+        two-stage decode -> vectorized-features path (VERDICT r3 item 7)."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from hmse_ray.pipelines.queries import audio_features, audio_features_two_stage
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(0, 40), pa.int64()),
+                "text": [f"clip {i} " + "waveform text " * (i % 7) for i in range(40)],
+            }
+        )
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        fused = audio_features(str(tmp_path))
+        two = audio_features_two_stage(str(tmp_path))
+        pd.testing.assert_frame_equal(
+            fused[two.columns], two, check_exact=True
+        )
+
 
 class TestDedupStats:
     def test_stats_shapes(self, ray_session):
