@@ -54,11 +54,16 @@ def oracle_sql() -> dict[str, str]:
 
     Hash-based operators (MinHash signatures + band LSH, SimHash over
     variable-length tokens, winnowing fingerprints, FastCDC gear cuts,
-    murmur-planted embeddings) are reproduced bit-for-bit via generated
-    murmur3/splitmix CTE chains (queries.py:_mm_chain_sql and friends).
-    Only zlib compression, the stub image codec, and the approximate
-    ANN variants are omitted -> the driver records rows-only checks for
-    those.
+    murmur-planted embeddings, murmur-pixel image decode/resize) are
+    reproduced bit-for-bit via generated murmur3/splitmix CTE chains
+    (queries.py:_mm_chain_sql and friends). Omitted — irreducibly, each
+    documented in its query docstring — are only: zlib compression
+    (compression_accounting, store_kind_stats, roundtrip_invariant),
+    the approximate-by-design ANN variants (ann_topk_lsh/ivf, checked
+    instead by the ann_recall >= 0.9 gate vs the oracle-verified brute
+    force), and image_clusters (float SimHash dot products — numpy
+    pairwise summation is not reproducible in SQL). The driver records
+    rows-only checks for those.
     """
     from hmse_ray.pipelines.queries import ORACLES
 

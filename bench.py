@@ -9,6 +9,9 @@ Default: runs the headline pipelines over $GRAFT_SF_DIR (default
 Headline = flagship image dedup (signatures -> LSH -> verified pairs ->
 clusters) on the deterministic synthetic image+caption fixture
 (BENCH_ROWS rows, cached under /tmp), reporting images/sec as well.
+The headline is the MEDIAN of GRAFT_FLAGSHIP_RUNS (default 3) in-process
+runs, with a concurrently measured pure-CPU parallel-speedup sample
+recorded alongside (host tenancy context — VERDICT r3 item 2).
 
 --scaling: runs bench.py twice in FRESH processes at num_cpus=8 and 32
 on the same input (the sandbox substitute for the north rule's N vs 4N
@@ -78,15 +81,33 @@ def run_bench() -> dict:
     fdir = fixtures.fixture_dir(BENCH_ROWS, seed=42)
     _ = dedup.read_images(fdir + "/images").count()
 
-    t0 = time.time()
-    # pass the PATH, not a Dataset: each branch then reads only its
-    # columns (pushdown) instead of re-reading the full table (bytes
-    # included) three times
-    clusters = dedup.cluster_assignments(fdir + "/images", cfg)
-    if "--stats" in sys.argv:
-        clusters = clusters.materialize()
-    n_images = clusters.count()
-    headline = time.time() - t0
+    # The headline is the MEDIAN of n flagship runs (default 3 — VERDICT
+    # r3 item 2: a single sample on this shared VM measured anywhere in a
+    # 1.5-2x band and round-over-round deltas were unattributable), with
+    # a concurrent pure-CPU burn ceiling recorded next to it so a slow
+    # headline can be pinned to host tenancy instead of guessed at.
+    # Scaling legs set GRAFT_FLAGSHIP_RUNS=1 (their protocol medians over
+    # whole lo/hi pairs already).
+    n_flag = int(os.environ.get("GRAFT_FLAGSHIP_RUNS", "3"))
+    walls = []
+    n_images = 0
+    for i in range(n_flag):
+        t0 = time.time()
+        # pass the PATH, not a Dataset: each branch then reads only its
+        # columns (pushdown) instead of re-reading the full table (bytes
+        # included) three times
+        clusters = dedup.cluster_assignments(fdir + "/images", cfg)
+        if "--stats" in sys.argv and i == n_flag - 1:
+            clusters = clusters.materialize()
+        n_images = clusters.count()
+        walls.append(round(time.time() - t0, 3))
+    srt = sorted(walls)
+    headline = (
+        srt[len(srt) // 2]
+        if len(srt) % 2
+        else round((srt[len(srt) // 2 - 1] + srt[len(srt) // 2]) / 2, 3)
+    )
+    host_speedup = _host_parallel_speedup(NCPU)
     if "--stats" in sys.argv:
         os.makedirs("BENCH", exist_ok=True)
         with open("BENCH/STATS.txt", "w") as f:
@@ -111,9 +132,31 @@ def run_bench() -> dict:
         "num_cpus": NCPU,
         "bench_rows": BENCH_ROWS,
         "images_per_sec": round(n_images / headline, 1),
+        "flagship_runs": walls,
+        # effective parallel speedup a pure-CPU burn achieves at NCPU
+        # procs RIGHT NOW (vs 1 proc) — the tenancy context for the
+        # headline; ~16-18 on this 32-hyperthread/16-core VM when free
+        "host_parallel_speedup": host_speedup,
     }
     ray.shutdown()
     return out
+
+
+def _host_parallel_speedup(n: int) -> float:
+    """Concurrently-measured effective cores: wall(1 proc) * n / wall(n
+    procs) for a pure-python burn; bounded by physical cores + tenancy."""
+    import multiprocessing as mp
+
+    def _wall(k: int) -> float:
+        t0 = time.time()
+        with mp.Pool(k) as p:
+            p.map(_burn, [0] * k)
+        return time.time() - t0
+
+    _wall(2)  # warm fork infra
+    w1 = min(_wall(1) for _ in range(2))
+    wn = min(_wall(n) for _ in range(2))
+    return round(w1 * n / wn, 2) if wn else float(n)
 
 
 def run_scaling() -> dict:
@@ -135,7 +178,7 @@ def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
         env = dict(
             os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_ROWS=scale_rows,
-            GRAFT_SKIP_QUERIES="1",
+            GRAFT_SKIP_QUERIES="1", GRAFT_FLAGSHIP_RUNS="1",
         )
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

@@ -304,20 +304,40 @@ def write_sharded(table: pa.Table, out_dir: str, shards: int = 8) -> list[str]:
     return files
 
 
-def _image_rows_from_docs(docs: pa.Table, seed: int) -> pa.Table:
-    """One batch of documents -> image rows, seeded PER doc_id so the
-    derivation is deterministic under any batching/partitioning.
+IMG_SEED = 505  # murmur seed for derived-image pixels (distinct from audio/video)
 
-    Each document becomes one image row (caption = doc text, synthetic
-    seeded picture); every 7th document also gets an exact-dup row and
+
+def image_pixels_for_doc(doc_id: int) -> np.ndarray:
+    """Deterministic (IMG_H, IMG_W, 3) uint8 pixels for one document:
+    pixel[p] = murmur3((doc_id*KEY_MUL + p) mod 2^32, IMG_SEED) % 256 —
+    the same SQL-reproducible construction as the audio waveforms and
+    video frames, so the image decode/resize path gets a bit-exact
+    DuckDB oracle instead of a rows-only check (VERDICT r3 item 4)."""
+    from hmse_ray.functions import murmur3
+
+    npx = IMG_W * IMG_H * 3
+    base = np.uint32((int(doc_id) * _KEY_MUL) & 0xFFFFFFFF)
+    keys = base + np.arange(npx, dtype=np.uint32)
+    h = murmur3.murmur3_u32(keys, IMG_SEED)
+    return (h % np.uint32(256)).astype(np.uint8).reshape(IMG_H, IMG_W, 3)
+
+
+def _image_rows_from_docs(docs: pa.Table, seed: int) -> pa.Table:
+    """One batch of documents -> image rows, derived PER doc_id so the
+    derivation is deterministic under any batching/partitioning (the
+    ``seed`` parameter affects nothing today — pixels are murmur3 of the
+    doc_id so the SQL oracle can regenerate them; kept for signature
+    stability).
+
+    Each document becomes one image row (caption = doc text, murmur
+    noise picture); every 7th document also gets an exact-dup row and
     every 11th a near-dup caption variant, planting known redundancy.
     """
     doc_ids = docs["doc_id"].to_pylist()
     texts = docs["text"].to_pylist()
     ids, blobs, fmts, caps, phs = [], [], [], [], []
     for did, text in zip(doc_ids, texts):
-        rng = np.random.default_rng((seed, did))
-        pix = _base_pixels(rng)
+        pix = image_pixels_for_doc(did)
         fmt = "jpeg" if did % 3 == 0 else "png"
         enc = imagecodec.encode(pix, fmt)
         dec = imagecodec.decode(enc, IMG_W, IMG_H, fmt)

@@ -34,6 +34,24 @@ class TestAnnRecall:
         assert lsh.groupby("query_id").size().max() <= 10
         assert ivf.groupby("query_id").size().max() <= 10
 
+    def test_lsh_many_queries_bounded(self, ray_session):
+        """VERDICT r03 item 8: large query sets must keep per-batch work
+        vectorized (one lexsort over candidates, no per-query Python
+        loop). nq=500 = every vector in the sf0.001 table is a query;
+        recall for the standard 10 queries stays >= 0.9."""
+        from hmse_ray.pipelines.queries import ann_topk, ann_topk_lsh
+
+        lsh = ann_topk_lsh(SF, n_queries=500).to_pandas()
+        assert len(lsh) == 5000, len(lsh)  # 500 queries x full top-10
+        assert lsh.groupby("query_id").size().max() <= 10
+        exact = ann_topk(SF).to_pandas()
+        truth = {q: set(g["vec_id"]) for q, g in exact.groupby("query_id")}
+        sub = lsh[lsh["query_id"] < 10]
+        hit = sum(
+            len(set(g["vec_id"]) & truth[q]) for q, g in sub.groupby("query_id")
+        )
+        assert hit / 100 >= 0.9, hit
+
 
 class TestEmbeddingNearDups:
     def test_planted_pairs_found(self, ray_session):
