@@ -117,14 +117,29 @@ def run_bench() -> dict:
     # scaling runs skip the per-operator queries: the efficiency metric
     # uses only the flagship wall time
     if not os.environ.get("GRAFT_SKIP_QUERIES"):
+        # per-query times are MEDIANS of GRAFT_QUERY_RUNS samples (default
+        # 3) for the same reason the flagship headline is: single samples
+        # on this shared VM drift 1.5-2x and round-over-round per-query
+        # deltas were unattributable (VERDICT r3). Sample 1 additionally
+        # pays per-process warm-up, so the median is the warm number.
+        n_q = int(os.environ.get("GRAFT_QUERY_RUNS", "3"))
         for name in BENCH_QUERIES:
-            t0 = time.time()
-            consume(QUERIES[name](SF_DIR))
-            queries[name] = round(time.time() - t0, 3)
+            samples = []
+            for _ in range(n_q):
+                t0 = time.time()
+                consume(QUERIES[name](SF_DIR))
+                samples.append(round(time.time() - t0, 3))
+            samples.sort()
+            queries[name] = (
+                samples[len(samples) // 2]
+                if len(samples) % 2
+                else round((samples[len(samples) // 2 - 1] + samples[len(samples) // 2]) / 2, 3)
+            )
 
     out = {
         "metric": "flagship image dedup wall time (synthetic fixture, "
-        f"{BENCH_ROWS} rows) + per-operator query times over {SF_DIR}",
+        f"{BENCH_ROWS} rows) + per-operator query times over {SF_DIR} "
+        "(flagship and per-query times are medians of repeated runs)",
         "value": round(headline, 3),
         "unit": "sec",
         "queries": queries,
