@@ -275,20 +275,22 @@ def cluster_from_edges(edges_ds, images_ds, cfg: Config = DEFAULT_CONFIG,
     singletons label themselves; no all-to-all join of the full input
     anywhere on the driver path.
     """
-    schema = edges_ds.schema()
-    if schema is None:  # no candidate edges at all -> everything singleton
-        import ray.data as _rd
+    # Normalize the edge schema PER BATCH, never via Dataset.schema():
+    # a driver-side schema probe on a lazy union whose branches contain
+    # shuffles makes Ray execute the whole upstream chain once for the
+    # limit-1 schema sample and AGAIN for the real materialize (measured:
+    # the flagship's simhash LSH chain ran twice, +125 s at 2 CPUs /
+    # 1M rows). Batch-level column inspection costs nothing and handles
+    # heterogeneous unions (id_a/id_b candidate pairs + src/dst edges).
+    def _norm_edges(t: pa.Table) -> pa.Table:
+        names = t.column_names
+        if "id_a" in names:  # candidate-pair schema -> generic edge schema
+            return pa.table({"src": t["id_a"], "dst": t["id_b"]})
+        if set(names) - {"src", "dst"}:
+            return t.select(["src", "dst"])
+        return t
 
-        edges_ds = _rd.from_arrow(_EMPTY_SRC_DST)
-        schema = edges_ds.schema()
-    names = schema.names
-    if "id_a" in names:  # candidate-pair schema -> generic edge schema
-        edges_ds = edges_ds.select_columns(["id_a", "id_b"]).rename_columns(
-            {"id_a": "src", "id_b": "dst"}
-        )
-    elif set(names) - {"src", "dst"}:
-        edges_ds = edges_ds.select_columns(["src", "dst"])
-    edges_ds = edges_ds.materialize()
+    edges_ds = edges_ds.map_batches(_norm_edges, batch_format="pyarrow").materialize()
     n_edges = edges_ds.count()
     use_driver = (
         not force_distributed if force_distributed is not None else n_edges <= DRIVER_EDGE_LIMIT
