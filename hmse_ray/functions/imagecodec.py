@@ -1,23 +1,27 @@
 """Deterministic image encode/decode for the `bytes`/`fmt` payload columns.
 
 The input table carries encoded images as opaque binary (input_hint:
-``bytes: binary, w: int32, h: int32, fmt: string``). This container has no
-image libraries (no PIL / libvips), so real PNG/JPEG decode is STUBBED:
+``bytes: binary, w: int32, h: int32, fmt: string``). Codecs:
 
-  - If PIL is importable at runtime we use it for fmt in {"png", "jpeg"}.
-  - Otherwise the engine's own deterministic codecs are used:
-      * fmt "raw"  — w*h*3 RGB bytes, uncompressed
-      * fmt "png"  — zlib-compressed raw RGB (LOSSLESS stand-in)
-      * fmt "jpeg" — 6-bit-per-channel quantization + zlib (LOSSY
-        deterministic stand-in; quantization step 4 -> PSNR ~= 43 dB,
-        exercising the PSNR >= 40 dB branch of the per-row invariant)
-    and any other fmt raises NotImplementedError.
+  - fmt "raw"  — w*h*3 RGB bytes, uncompressed.
+  - fmt "png"  — REAL PNG (round 4): spec-compliant 8-bit truecolor PNG
+    via the pure-numpy codec in hmse_ray.functions.pngcodec (signature,
+    IHDR/IDAT/IEND, per-chunk CRC-32, filtered scanlines — decoder covers
+    all five spec filter types). Lossless, so every downstream pixel
+    value, phash and SQL oracle is unchanged from the earlier zlib
+    stand-in; only the container bytes are now genuine PNG.
+  - fmt "jpeg" — DELIBERATE deterministic stand-in (6-bit-per-channel
+    quantization step 4 + zlib; PSNR ~= 43 dB, exercising the
+    PSNR >= 40 dB branch of the per-row invariant). A real JPEG needs
+    float DCT whose result is not bit-reproducible in SQL — the
+    quantizer's integer determinism is exactly what lets DuckDB
+    regenerate decoded pixels and keep decode_resize_features
+    hash-verified (queries.py:_decode_resize_sql). If PIL is importable
+    at runtime, unknown fmts fall through to it on decode.
+  - any other fmt raises NotImplementedError (PIL-gated).
 
-The Ray-side plumbing (schema, batch sizes, actor-pool decode stage,
-output layout) is real and tested; only the codec bytes differ from a
-production deployment. The synthetic fixtures in hmse_ray.sources.fixtures
-encode with these same codecs, so decode/invariant paths are end-to-end
-exercised.
+The synthetic fixtures in hmse_ray.sources.fixtures encode with these
+same codecs, so decode/invariant paths are end-to-end exercised.
 """
 
 from __future__ import annotations
@@ -25,6 +29,8 @@ from __future__ import annotations
 import zlib
 
 import numpy as np
+
+from hmse_ray.functions.pngcodec import png_decode, png_encode
 
 try:  # pragma: no cover - not present in this container
     import PIL.Image  # noqa: F401
@@ -46,7 +52,7 @@ def encode(pixels: np.ndarray, fmt: str, level: int = 6) -> bytes:
     if fmt == "raw":
         return raw
     if fmt == "png":
-        return zlib.compress(raw, level)
+        return png_encode(pixels, level)
     if fmt == "jpeg":
         q = (pixels // _QUANT_STEP).astype(np.uint8)
         return zlib.compress(q.tobytes(), level)
@@ -61,7 +67,10 @@ def decode(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     if fmt == "raw":
         return np.frombuffer(data, dtype=np.uint8, count=n).reshape(h, w, 3)
     if fmt == "png":
-        return np.frombuffer(zlib.decompress(data), dtype=np.uint8, count=n).reshape(h, w, 3)
+        px = png_decode(data)
+        if px.shape != (h, w, 3):
+            raise ValueError(f"PNG header {px.shape[:2]} != expected {(h, w)}")
+        return px
     if fmt == "jpeg":
         q = np.frombuffer(zlib.decompress(data), dtype=np.uint8, count=n).reshape(h, w, 3)
         # dequantize to bin centers: 4*q + 1 (max err 2, PSNR ~= 42-48 dB)

@@ -46,7 +46,8 @@ from hmse_ray.config import Config, DEFAULT_CONFIG
 from hmse_ray.functions import imagecodec, minhash, simhash
 
 IMG_W, IMG_H = 64, 48
-FIXTURE_VERSION = 3  # bump when generation logic changes (invalidates /tmp cache)
+FIXTURE_VERSION = 4  # bump when generation logic changes (invalidates /tmp cache)
+# v4: fmt="png" payloads are real spec-compliant PNGs (functions/pngcodec.py)
 
 IMAGES_SCHEMA = pa.schema(
     [

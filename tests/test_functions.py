@@ -244,6 +244,141 @@ class TestImageCodec:
             imagecodec.encode(self._pixels(), "webp")
 
 
+class TestPngCodec:
+    """Spec-level tests for the real PNG codec (functions/pngcodec.py):
+    container structure, CRC verification, and decoder coverage of all
+    five scanline filter types — including the ones our deterministic
+    encoder never emits (spec-valid foreign PNGs use them)."""
+
+    def _pixels(self, seed=0, h=5, w=7):
+        return np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+    def test_container_structure(self):
+        import struct
+        import zlib as _z
+
+        from hmse_ray.functions import pngcodec
+
+        px = self._pixels()
+        blob = pngcodec.png_encode(px)
+        assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+        # IHDR immediately follows the signature, 13-byte payload
+        assert blob[8:16] == struct.pack(">I", 13) + b"IHDR"
+        w, h, depth, color, comp, filt, il = struct.unpack(">IIBBBBB", blob[16:29])
+        assert (w, h, depth, color, comp, filt, il) == (7, 5, 8, 2, 0, 0, 0)
+        # IHDR CRC matches zlib.crc32 over tag+payload
+        (crc,) = struct.unpack(">I", blob[29:33])
+        assert crc == _z.crc32(blob[12:29]) & 0xFFFFFFFF
+        # file ends with the canonical IEND chunk; CRC32("IEND") is the
+        # well-known constant AE 42 60 82
+        assert blob.endswith(b"\x00\x00\x00\x00IEND\xaeB`\x82")
+
+    @staticmethod
+    def _filter_forward(px: np.ndarray, ftype: int) -> bytes:
+        """Apply a PNG filter (spec section 6) to every scanline; returns the
+        filtered scanline stream (filter byte + w*3 bytes per row)."""
+        h, w, _ = px.shape
+        lines = px.reshape(h, w * 3).astype(np.int64)
+        out = bytearray()
+        prev = np.zeros(w * 3, dtype=np.int64)
+        for y in range(h):
+            cur = lines[y]
+            filt = np.empty_like(cur)
+            for x in range(w * 3):
+                a = cur[x - 3] if x >= 3 else 0  # left (already-reconstructed)
+                b = prev[x]
+                c = prev[x - 3] if x >= 3 else 0
+                if ftype == 0:
+                    pred = 0
+                elif ftype == 1:
+                    pred = a
+                elif ftype == 2:
+                    pred = b
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:  # Paeth
+                    p = a + b - c
+                    pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
+                filt[x] = (cur[x] - pred) & 0xFF
+            out.append(ftype)
+            out.extend(filt.astype(np.uint8).tobytes())
+            prev = cur
+        return bytes(out)
+
+    def test_decoder_covers_all_filter_types(self):
+        import struct
+        import zlib as _z
+
+        from hmse_ray.functions import pngcodec
+
+        px = self._pixels(seed=7)
+        ihdr = struct.pack(">IIBBBBB", 7, 5, 8, 2, 0, 0, 0)
+        for ftype in range(5):
+            idat = _z.compress(self._filter_forward(px, ftype))
+            blob = (
+                pngcodec.PNG_SIGNATURE
+                + pngcodec._chunk(b"IHDR", ihdr)
+                + pngcodec._chunk(b"IDAT", idat)
+                + pngcodec._chunk(b"IEND", b"")
+            )
+            dec = pngcodec.png_decode(blob)
+            assert (dec == px).all(), f"filter type {ftype} misdecoded"
+
+    def test_multiple_idat_and_ancillary_chunks(self):
+        import struct
+        import zlib as _z
+
+        from hmse_ray.functions import pngcodec
+
+        px = self._pixels(seed=9)
+        ihdr = struct.pack(">IIBBBBB", 7, 5, 8, 2, 0, 0, 0)
+        idat = _z.compress(self._filter_forward(px, 0))
+        mid = len(idat) // 2
+        blob = (
+            pngcodec.PNG_SIGNATURE
+            + pngcodec._chunk(b"IHDR", ihdr)
+            + pngcodec._chunk(b"tEXt", b"Comment\x00hi")  # ancillary: skipped
+            + pngcodec._chunk(b"IDAT", idat[:mid])
+            + pngcodec._chunk(b"IDAT", idat[mid:])
+            + pngcodec._chunk(b"IEND", b"")
+        )
+        assert (pngcodec.png_decode(blob) == px).all()
+
+    def test_corruption_raises(self):
+        from hmse_ray.functions import pngcodec
+
+        px = self._pixels()
+        blob = bytearray(pngcodec.png_encode(px))
+        with pytest.raises(ValueError, match="signature"):
+            pngcodec.png_decode(b"\x00" + bytes(blob[1:]))
+        blob[40] ^= 0xFF  # flip a byte inside IDAT -> CRC mismatch
+        with pytest.raises(ValueError, match="CRC"):
+            pngcodec.png_decode(bytes(blob))
+        with pytest.raises(ValueError, match="IEND"):
+            pngcodec.png_decode(pngcodec.png_encode(px)[:-12])
+
+    def test_unsupported_color_type_raises(self):
+        import struct
+
+        from hmse_ray.functions import pngcodec
+
+        ihdr = struct.pack(">IIBBBBB", 7, 5, 8, 6, 0, 0, 0)  # RGBA
+        blob = (
+            pngcodec.PNG_SIGNATURE
+            + pngcodec._chunk(b"IHDR", ihdr)
+            + pngcodec._chunk(b"IEND", b"")
+        )
+        with pytest.raises(NotImplementedError):
+            pngcodec.png_decode(blob)
+
+    def test_encode_deterministic(self):
+        from hmse_ray.functions import pngcodec
+
+        px = self._pixels(seed=3)
+        assert pngcodec.png_encode(px) == pngcodec.png_encode(px)
+
+
 class TestSimHash:
     def test_near_vs_far(self):
         rng = np.random.default_rng(3)
