@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "ann_topk",
     "minhash_doc_pairs",
     "doc_clusters",
+    "substring_dup_pairs",
     "audio_features",
     "video_frame_stats",
 ]

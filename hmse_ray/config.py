@@ -62,6 +62,17 @@ class Config:
     simhash_seed: int = 0x5EED51A7
     simhash_bands: int = 4  # LSH bands over the 64-bit simhash (16 bits each)
 
+    # --- Suffix-array substring matching (north-rule capability) ---
+    # When True, cluster_assignments additionally links caption pairs
+    # where one caption is wholly contained in the other (winnowed
+    # candidates -> per-sup suffix array, pipelines/queries.py:
+    # substring_dup_docs). Off by default: containment is a DIFFERENT
+    # duplicate relation than the golden fixture's jaccard/hamming
+    # clusters, so the flagship recall/precision gates pin the default
+    # graph shape; enable for corpora where truncated near-identical
+    # captions should merge (crawl snippets, alt-text prefixes).
+    substring_captions: bool = False
+
     # --- Invariants ---
     psnr_min_db: float = 40.0
 

@@ -7,7 +7,8 @@ size (README.md:2175); otherwise it is stored full. Exact duplicates are
 stored as pointer records (README.md:1210, 1311-1313). Stored-chunk
 trichotomy: FULL / POINTER / DELTA (README.md:1634-1669).
 
-Two encoders, smallest wins (1-byte format tag):
+Two fast encoders, smallest wins (1-byte format tag), plus a
+suffix-array second chance:
 
 * OPS (tag 0x02) — greedy substring matching against the base, the same
   copy/insert role bsdiff's suffix-array search plays in the reference
@@ -20,8 +21,16 @@ Two encoders, smallest wins (1-byte format tag):
 * ZDICT (tag 0x01) — zlib with the base as preset dictionary (LZ77
   longest-match against a 32 KB window of the base); wins for tiny
   inputs where op framing overhead dominates.
+* OPS via SUFFIX ARRAY (same tag 0x02 / same op format) — bsdiff's
+  actual search structure (README.md:1402: qsufsort longest-match):
+  a Manber–Myers suffix array over the base, exact longest match per
+  target position (functions/suffixarray.py). TRUE longest matches
+  beat the hash encoder's 8-candidate/8-byte-seed approximation, at
+  O(n log n) build cost per pair — so it runs only as a SECOND CHANCE
+  when both fast encoders miss the 20% delta bound (a would-be FULL
+  row is the only case where the extra work can change the outcome).
 
-Deterministic, and apply() inverts both exactly.
+Deterministic, and apply() inverts all paths exactly.
 """
 
 from __future__ import annotations
@@ -140,6 +149,36 @@ def _apply_ops(base: bytes, blob: bytes) -> bytes:
     return bytes(out)
 
 
+def _encode_ops_sa(base: bytes, target: bytes) -> bytes | None:
+    """Suffix-array greedy copy/insert diff (exact longest matches —
+    bsdiff's search, README.md:1402). Same serialized op format as
+    _encode_ops, so _apply_ops inverts it."""
+    if len(base) < _MIN_COPY or len(target) < 1:
+        return None
+    from hmse_ray.functions import suffixarray
+
+    sa = suffixarray.build(base)
+    nt = len(target)
+    ops = bytearray()
+    ins_start = 0
+    i = 0
+    while i < nt:
+        pos, ln = suffixarray.longest_match(base, sa, target, i)
+        if ln >= _MIN_COPY:
+            if ins_start < i:
+                seg = target[ins_start:i]
+                ops += b"\x00" + _varint(len(seg)) + seg
+            ops += b"\x01" + _varint(pos) + _varint(ln)
+            i += ln
+            ins_start = i
+        else:
+            i += max(1, ln // 2)  # skip ahead past short partial matches
+    if ins_start < nt:
+        seg = target[ins_start:]
+        ops += b"\x00" + _varint(len(seg)) + seg
+    return zlib.compress(bytes(ops), 9)
+
+
 def _encode_zdict(base: bytes, target: bytes, cfg: Config) -> bytes:
     c = zlib.compressobj(cfg.deflate_level, zlib.DEFLATED, 15, 9, zlib.Z_DEFAULT_STRATEGY, base)
     return c.compress(target) + c.flush()
@@ -147,12 +186,18 @@ def _encode_zdict(base: bytes, target: bytes, cfg: Config) -> bytes:
 
 def delta_encode(base: bytes, target: bytes, cfg: Config = DEFAULT_CONFIG) -> bytes | None:
     """Binary delta of target vs base (smallest encoder wins), or None
-    if it misses the 20% bound."""
+    if it misses the 20% bound. When both fast encoders miss the bound,
+    the suffix-array encoder (exact longest matches) gets one attempt
+    before the row falls back to FULL storage."""
     z = _TAG_ZDICT + _encode_zdict(base, target, cfg)
     o = _encode_ops(base, target)
     d = z if o is None or len(z) <= len(o) + 1 else _TAG_OPS + o
-    if len(d) <= cfg.delta_threshold * max(1, len(target)):
+    bound = cfg.delta_threshold * max(1, len(target))
+    if len(d) <= bound:
         return d
+    s = _encode_ops_sa(base, target)
+    if s is not None and len(s) + 1 <= bound:
+        return _TAG_OPS + s
     return None
 
 

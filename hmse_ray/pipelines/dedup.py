@@ -237,6 +237,29 @@ def cluster_assignments(images, cfg: Config = DEFAULT_CONFIG, *,
         num_salts=num_salts, dedup_first=dedup_first,
         dedup_pairs=False,  # union-find dedups; skip the extra barrier
     )
+    if cfg.substring_captions:
+        # north-rule suffix-array substring matching: captions wholly
+        # contained in a longer caption link to it (winnowed candidate
+        # generation + per-sup suffix array probes — see
+        # pipelines/queries.substring_dup_docs). Containment is treated
+        # as a duplicate relation with jaccard_est 1.0 (byte-exact
+        # sub-match, the strongest near-identical signal).
+        from hmse_ray.pipelines.queries import substring_dup_docs
+
+        ss = substring_dup_docs(
+            _branch(images, ["image_id", "caption"]),
+            id_col="image_id", text_col="caption",
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "id_a": t["id_sub"],
+                    "id_b": t["id_sup"],
+                    "jaccard_est": pa.array([1.0] * t.num_rows, pa.float64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        pairs = pairs.union(ss)
     ids_ds = _branch(images, ["image_id"])
     return clustering.cluster_from_edges(
         pairs, ids_ds, cfg, force_distributed=force_distributed

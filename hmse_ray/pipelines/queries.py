@@ -679,6 +679,185 @@ def ann_topk_lsh(sf_dir, k=10, n_planes=8, n_tables=8, probe_bits=2,
     )
 
 
+def _vec_list(M: np.ndarray) -> pa.ListArray:
+    n, d = M.shape
+    offsets = pa.array((np.arange(n + 1) * d).astype(np.int32))
+    return pa.ListArray.from_arrays(offsets, pa.array(M.ravel(), pa.float64()))
+
+
+def ann_topk_lsh_partitioned(sf_dir, k=10, n_planes=8, n_tables=8,
+                             probe_bits=2, n_queries=100):
+    """Query-PARTITIONED hyperplane-LSH ANN — the >~10k-query scale path
+    named in ann_topk_lsh's docstring (rows-only IRREDUCIBLY:
+    approximate by design, same reason as ann_topk_lsh; instead,
+    test_lsh_partitioned_matches_broadcast pins EXACT output equality
+    with the broadcast variant, which the recall gate covers).
+
+    Queries are a DATASET, not a broadcast: each query explodes to its
+    multi-probe (table, bucket) rows, each vector to its n_tables
+    (table, bucket) rows, and ONE co-partition shuffle on the packed
+    int64 bucket key scores each bucket's queries x vectors with a
+    local matmul + per-(bucket, query) top-k. Driver and per-task state
+    are O(partition) — no per-batch probe tables, no O(nq) broadcast —
+    so query count scales with the cluster instead of the batch. Cost
+    trade vs broadcast: vectors ship n_tables x through the shuffle
+    (the standard LSH-join trade); right below ~1k queries the
+    broadcast variant is cheaper, above it this one is the only shape
+    that works.
+    """
+    import itertools
+
+    from hmse_ray.stages.aggregates import copartition_two
+
+    qid, qn = _queries_matrix(sf_dir, n_queries)
+    rng = np.random.default_rng(CFG.sample_seed)
+    planes = rng.standard_normal((n_tables, n_planes, qn.shape[1]))
+    pref = ray.put(planes)
+    # flip masks for <= probe_bits multi-probe, precomputed once
+    flips = [
+        int(np.bitwise_or.reduce([1 << f for f in combo]) if combo else 0)
+        for r in range(probe_bits + 1)
+        for combo in itertools.combinations(range(n_planes), r)
+    ]
+    fl = np.array(sorted(set(flips)), dtype=np.int64)
+
+    # queries as a Dataset (tiny here; at scale this IS the input shape)
+    q_ds = rd.from_arrow(
+        pa.table({"qid": pa.array(qid.astype(np.int64)), "qv": _vec_list(qn)})
+    )
+
+    def q_rows(t: pa.Table) -> pa.Table:
+        pl = ray.get(pref)
+        Q = _emb_matrix(t["qv"])
+        ids = t["qid"].to_numpy()
+        nq, nf = len(ids), len(fl)
+        keys, idxs = [], []
+        for tbl in range(n_tables):
+            bits = (Q @ pl[tbl].T > 0).astype(np.int64)
+            base = np.zeros(nq, dtype=np.int64)
+            for b in range(n_planes):
+                base = (base << 1) | bits[:, b]
+            probes = base[:, None] ^ fl[None, :]  # (nq, nf)
+            keys.append((np.int64(tbl) << np.int64(n_planes)) | probes.ravel())
+            idxs.append(np.repeat(np.arange(nq), nf))
+        idx = np.concatenate(idxs)
+        return pa.table(
+            {
+                "tkey": pa.array(np.concatenate(keys), pa.int64()),
+                "qid": pa.array(ids[idx], pa.int64()),
+                "qv": _vec_list(Q[idx]),
+            }
+        )
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    def v_rows(t: pa.Table) -> pa.Table:
+        pl = ray.get(pref)
+        V = _emb_matrix(t["embedding"])
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+        ids = t["vec_id"].to_numpy()
+        n = len(ids)
+        keys = []
+        for tbl in range(n_tables):
+            bits = (Vn @ pl[tbl].T > 0).astype(np.int64)
+            bucket = np.zeros(n, dtype=np.int64)
+            for b in range(n_planes):
+                bucket = (bucket << 1) | bits[:, b]
+            keys.append((np.int64(tbl) << np.int64(n_planes)) | bucket)
+        idx = np.tile(np.arange(n), n_tables)
+        return pa.table(
+            {
+                "tkey": pa.array(np.concatenate(keys), pa.int64()),
+                "vec_id": pa.array(ids[idx], pa.int64()),
+                "vv": _vec_list(Vn[idx]),
+            }
+        )
+
+    schema = pa.schema(
+        [
+            ("tkey", pa.int64()),
+            ("qid", pa.int64()),
+            ("qv", pa.list_(pa.float64())),
+            ("vec_id", pa.int64()),
+            ("vv", pa.list_(pa.float64())),
+        ]
+    )
+    _empty_out = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        }
+    )
+
+    def score_part(qt: pa.Table, vt: pa.Table) -> pa.Table:
+        if qt.num_rows == 0 or vt.num_rows == 0:
+            return _empty_out
+        qt = qt.sort_by([("tkey", "ascending")])
+        vt = vt.sort_by([("tkey", "ascending")])
+        qk = qt["tkey"].to_numpy()
+        vk = vt["tkey"].to_numpy()
+        Q = _emb_matrix(qt["qv"])
+        V = _emb_matrix(vt["vv"])
+        qids = qt["qid"].to_numpy()
+        vids = vt["vec_id"].to_numpy()
+        new = np.empty(len(qk), dtype=bool)
+        new[0] = True
+        new[1:] = qk[1:] != qk[:-1]
+        qstarts = np.nonzero(new)[0]
+        qsizes = np.diff(np.append(qstarts, len(qk)))
+        out_q, out_v, out_s = [], [], []
+        for qs, qm in zip(qstarts, qsizes):
+            key = qk[qs]
+            lo = np.searchsorted(vk, key, "left")
+            hi = np.searchsorted(vk, key, "right")
+            if hi == lo:
+                continue
+            S = V[lo:hi] @ Q[qs : qs + qm].T  # (nv, nq_in_bucket)
+            bv = vids[lo:hi]
+            for j in range(qm):
+                col = S[:, j]
+                # per-(bucket, query) top-k with the GLOBAL tie-break
+                # (-score, vec_id) so results never depend on block or
+                # partition boundaries (ADVICE r3)
+                order = np.lexsort((bv, -col))[:k]
+                out_q.append(np.full(len(order), qids[qs + j], dtype=np.int64))
+                out_v.append(bv[order])
+                out_s.append(col[order])
+        if not out_q:
+            return _empty_out
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "score": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    scored = copartition_two(
+        q_ds.map_batches(q_rows, batch_format="pyarrow"),
+        emb.map_batches(v_rows, batch_format="pyarrow"),
+        "tkey",
+        schema,
+        score_part,
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        # the same (query, vec) pair arrives from every table whose
+        # bucket matched — dedup before the final cut
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True])
+        g = g.drop_duplicates("vec_id").head(k)
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"],
+                "vec_id": g["vec_id"],
+                "score_r": np.round(g["score"], 4),
+            }
+        )
+
+    return scored.groupby("query_id").map_groups(topk, batch_format="pandas")
+
+
 def ann_topk_ivf(sf_dir, k=10, n_centroids=16, n_probe=10):
     """IVF ANN (scale path; rows-only IRREDUCIBLY: approximate by design
     — scanned cells depend on k-means centroids, so no SQL oracle;
@@ -1367,6 +1546,296 @@ def ngram_jaccard_pairs(sf_dir, threshold: float = 0.7):
     """Exact 4-gram Jaccard pairs over the documents table (SQL-checked,
     guaranteed recall — see exact_jaccard_pairs)."""
     return exact_jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold)
+
+
+def _combine_col(col):
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def substring_dup_docs(docs, k: int = 8, window: int = 16,
+                       max_bucket: int = 65536,
+                       id_col: str = "doc_id", text_col: str = "text"):
+    """Suffix-array substring matching over (id, text) rows — the north
+    rule's named capability for near-identical captions: pairs
+    (id_sub, id_sup) where sub's ENTIRE text occurs inside sup's text
+    and sub is strictly shorter. Ids are strings (the flagship's
+    image_id shape; substring_dup_pairs wraps the int64 documents
+    table). Exact (recall 1) for subs of length >= k + window - 1.
+
+    Shape (all narrow shuffles, no all-pairs stage):
+
+    1. Winnowing fingerprints per doc (textstats.winnow_fingerprints —
+       Schleimer/Wilkerson/Aiken SIGMOD'03). KEY REDUCTION: if sub is
+       contained in sup, every window of sub's k-gram hash sequence
+       appears INTACT in sup, so every fingerprint winnowing selects in
+       sub is also selected in sup. Each doc therefore probes as a sub
+       with only THREE of its fingerprints (min / median / max) while
+       advertising as a sup with ALL its fingerprints; a candidate must
+       collide in all three probe buckets (multiplicity count == 3 in
+       the sub-keyed join). True containments always do; the background
+       drops ~300x (measured on the sf0.1 corpus: 850k one-probe
+       candidates -> 2.8k three-probe, 248 true).
+    2. Fingerprint-bucket groupby emits (sub, sup) id pairs for
+       len(sub) < len(sup); the first text join (partitioned by sub id,
+       which every copy of a pair shares) counts multiplicity locally
+       and keeps pairs hit by all 3 probes — no extra shuffle. Buckets
+       beyond ``max_bucket`` sup rows contribute only their longest
+       ``max_bucket`` sups (documented skew cap, same role as the LSH
+       hot-bucket cap; containment targets are length-biased so the
+       longest sups are kept).
+    3. Two co-partition joins fetch sub text then group by sup; each
+       sup builds ONE suffix array (functions/suffixarray.py, the
+       bsdiff search structure) probed by all its candidate subs.
+
+    Lengths are CHARACTER counts (== bytes on ASCII corpora; the SQL
+    oracle's length()/position() are character-based).
+    """
+    from hmse_ray.functions import suffixarray
+    from hmse_ray.stages.aggregates import copartition_two, hash_partitioned_groupby_arrow
+
+    min_len = k + window - 1  # winnowing guarantee threshold
+    n_probes = 3
+
+    def fp_rows(t: pa.Table) -> pa.Table:
+        ids = pc.cast(_combine_col(t[id_col]), pa.string())
+        fps, out_idx, out_n, out_probe = [], [], [], []
+        for i, txt in enumerate(t[text_col].to_pylist()):
+            txt = txt or ""
+            f = textstats.winnow_fingerprints(txt, k, window).astype(np.int64)
+            # sup rows: every fingerprint
+            fps.append(f)
+            out_idx.append(np.full(f.size, i, dtype=np.int64))
+            out_n.append(np.full(f.size, len(txt), dtype=np.int64))
+            out_probe.append(np.zeros(f.size, dtype=bool))
+            # sub probe rows: min / median / max (f sorted unique;
+            # duplicates allowed for tiny fp sets — multiplicity is the
+            # intersection count either way)
+            if f.size and len(txt) >= min_len:
+                fps.append(f[[0, f.size // 2, f.size - 1]])
+                out_idx.append(np.full(n_probes, i, dtype=np.int64))
+                out_n.append(np.full(n_probes, len(txt), dtype=np.int64))
+                out_probe.append(np.ones(n_probes, dtype=bool))
+        if not fps:
+            return pa.table(
+                {
+                    "fp": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "probe": pa.array([], pa.bool_()),
+                }
+            )
+        idx = pa.array(np.concatenate(out_idx), pa.int64())
+        return pa.table(
+            {
+                "fp": pa.array(np.concatenate(fps), pa.int64()),
+                "doc_id": ids.take(idx),
+                "n": pa.array(np.concatenate(out_n), pa.int64()),
+                "probe": pa.array(np.concatenate(out_probe), pa.bool_()),
+            }
+        )
+
+    _EMPTY_SS_PAIRS = pa.table(
+        {
+            "doc_id": pa.array([], pa.string()),  # sub id (join-1 key)
+            "sup_id": pa.array([], pa.string()),
+        }
+    )
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EMPTY_SS_PAIRS
+        t = t.sort_by(
+            [("fp", "ascending"), ("probe", "ascending"), ("n", "ascending")]
+        )
+        fp = t["fp"].to_numpy()
+        ids = _combine_col(t["doc_id"])
+        ns = t["n"].to_numpy()
+        probes = t["probe"].to_numpy(zero_copy_only=False)
+        new = np.empty(len(fp), dtype=bool)
+        new[0] = True
+        new[1:] = fp[1:] != fp[:-1]
+        starts = np.nonzero(new)[0]
+        sizes = np.diff(np.append(starts, len(fp)))
+        sub_idx, sup_idx = [], []
+        for s, m in zip(starts, sizes):
+            g = slice(s, s + m)
+            sub_sel = np.nonzero(probes[g])[0] + s
+            if sub_sel.size == 0 or sub_sel.size == m:
+                continue
+            # sup rows are the probe=False prefix, sorted by n
+            sup_hi = s + m - sub_sel.size
+            sup_lo = s if sup_hi - s <= max_bucket else sup_hi - max_bucket
+            sup_ns = ns[sup_lo:sup_hi]
+            for si in sub_sel:
+                # sups are the strictly-longer tail of the length-sorted run
+                j = np.searchsorted(sup_ns, ns[si], side="right")
+                tail = np.arange(sup_lo + j, sup_hi)
+                if tail.size:
+                    sub_idx.append(np.full(tail.size, si, dtype=np.int64))
+                    sup_idx.append(tail)
+        if not sub_idx:
+            return _EMPTY_SS_PAIRS
+        return pa.table(
+            {
+                "doc_id": ids.take(pa.array(np.concatenate(sub_idx), pa.int64())),
+                "sup_id": ids.take(pa.array(np.concatenate(sup_idx), pa.int64())),
+            }
+        )
+
+    fps = docs.map_batches(fp_rows, batch_format="pyarrow")
+    cands = hash_partitioned_groupby_arrow(fps, "fp", bucket_pairs)
+
+    texts = docs.map_batches(
+        lambda t: pa.table(
+            {"doc_id": pc.cast(t[id_col], pa.string()), "text": t[text_col]}
+        ),
+        batch_format="pyarrow",
+    )
+
+    # join 1: probe-intersect + fetch sub text, re-key by sup. Every
+    # copy of a pair shares its sub id — this join's partition key — so
+    # the multiplicity count is local (no extra shuffle).
+    j1_schema = pa.schema(
+        [
+            ("doc_id", pa.string()),
+            ("sup_id", pa.string()),
+            ("text", pa.string()),
+        ]
+    )
+
+    def attach_sub_text(req: pa.Table, doc: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.string()),
+                "sub_id": pa.array([], pa.string()),
+                "sub_text": pa.array([], pa.string()),
+            }
+        )
+        if req.num_rows == 0 or doc.num_rows == 0:
+            return empty
+        # probe intersection: keep (sub, sup) hit by all n_probes probes
+        import pandas as pd_  # local alias; kernel ships to workers
+
+        rdf = pd_.DataFrame(
+            {
+                "sub": req["doc_id"].to_numpy(zero_copy_only=False),
+                "sup": req["sup_id"].to_numpy(zero_copy_only=False),
+            }
+        )
+        counts = rdf.groupby(["sub", "sup"], sort=False).size()
+        keep = counts[counts >= n_probes].index
+        if len(keep) == 0:
+            return empty
+        rid = keep.get_level_values(0).to_numpy()
+        rsup = keep.get_level_values(1).to_numpy()
+        did = doc["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(did, kind="stable")
+        did = did[order]
+        dtext = _combine_col(doc["text"]).take(pa.array(order, pa.int64()))
+        pos = np.searchsorted(did, rid)
+        pos_c = np.minimum(pos, len(did) - 1)
+        ok = did[pos_c] == rid
+        sel = np.nonzero(ok)[0]
+        if sel.size == 0:
+            return empty
+        return pa.table(
+            {
+                # re-key on the SUP doc for the second join
+                "doc_id": pa.array(rsup[sel], pa.string()),
+                "sub_id": pa.array(rid[sel], pa.string()),
+                "sub_text": dtext.take(pa.array(pos_c[sel], pa.int64())),
+            }
+        )
+
+    cand_texts = copartition_two(
+        cands,
+        texts,
+        "doc_id",
+        j1_schema,
+        lambda left, right: attach_sub_text(
+            pa.table({"doc_id": left["doc_id"], "sup_id": left["sup_id"]}),
+            pa.table({"doc_id": right["doc_id"], "text": right["text"]}),
+        ),
+    )
+
+    # join 2: group by sup, build ONE suffix array per sup, probe subs
+    j2_schema = pa.schema(
+        [
+            ("doc_id", pa.string()),
+            ("sub_id", pa.string()),
+            ("sub_text", pa.string()),
+            ("text", pa.string()),
+        ]
+    )
+    out_schema = pa.schema(
+        [
+            ("id_sub", pa.string()),
+            ("id_sup", pa.string()),
+            ("len_sub", pa.int64()),
+            ("len_sup", pa.int64()),
+        ]
+    )
+
+    def verify(cand: pa.Table, doc: pa.Table) -> pa.Table:
+        if cand.num_rows == 0 or doc.num_rows == 0:
+            return out_schema.empty_table()
+        did = doc["doc_id"].to_numpy(zero_copy_only=False)
+        dtexts = _combine_col(doc["text"])
+        order = np.argsort(did, kind="stable")
+        did_s = did[order]
+        cand = cand.sort_by([("doc_id", "ascending")])
+        cid = cand["doc_id"].to_numpy(zero_copy_only=False)
+        csub = cand["sub_id"].to_numpy(zero_copy_only=False)
+        ctext = _combine_col(cand["sub_text"])
+        o_sub, o_sup, o_ls, o_lp = [], [], [], []
+        i = 0
+        n = len(cid)
+        while i < n:
+            j = i
+            while j < n and cid[j] == cid[i]:
+                j += 1
+            pos = np.searchsorted(did_s, cid[i])
+            if pos < len(did_s) and did_s[pos] == cid[i]:
+                sup_text = dtexts[int(order[pos])].as_py() or ""
+                data = sup_text.encode()
+                sa = suffixarray.build(data)  # ONE build per sup doc
+                for r in range(i, j):
+                    sub_text = ctext[r].as_py() or ""
+                    if suffixarray.find(data, sa, sub_text.encode()) >= 0:
+                        o_sub.append(str(csub[r]))
+                        o_sup.append(str(cid[i]))
+                        o_ls.append(len(sub_text))
+                        o_lp.append(len(sup_text))
+            i = j
+        return pa.table(
+            {
+                "id_sub": pa.array(o_sub, pa.string()),
+                "id_sup": pa.array(o_sup, pa.string()),
+                "len_sub": pa.array(o_ls, pa.int64()),
+                "len_sup": pa.array(o_lp, pa.int64()),
+            }
+        )
+
+    return copartition_two(cand_texts, texts, "doc_id", j2_schema, verify)
+
+
+def substring_dup_pairs(sf_dir):
+    """North-rule suffix-array substring matching over the documents
+    table (SQL-checked: the oracle is an exact position() containment
+    cross join; the Ray side's winnowing candidate generation has
+    guaranteed recall for docs >= 23 chars — testdata minimum is 47)."""
+    pairs = substring_dup_docs(_docs(sf_dir, ["doc_id", "text"]))
+    return pairs.map_batches(
+        lambda t: pa.table(
+            {
+                "id_sub": pc.cast(t["id_sub"], pa.int64()),
+                "id_sup": pc.cast(t["id_sup"], pa.int64()),
+                "len_sub": t["len_sub"],
+                "len_sup": t["len_sup"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
 
 
 _IMG_CLUSTERS_CACHE: dict = {}
@@ -2676,6 +3145,17 @@ ORACLES = {
         JOIN card cb ON cb.doc_id = b
         WHERE cnt / (ca.c + cb.c - cnt) >= 0.7
     """,
+    # Exact containment cross join — the recall oracle for the winnowed
+    # suffix-array path (min_len 23 = winnowing guarantee k+window-1;
+    # the Ray side is exact at or above it, see substring_dup_docs)
+    "substring_dup_pairs": """
+        SELECT a.doc_id AS id_sub, b.doc_id AS id_sup,
+               length(a.text) AS len_sub, length(b.text) AS len_sup
+        FROM documents a, documents b
+        WHERE length(a.text) >= 23
+          AND length(a.text) < length(b.text)
+          AND position(a.text IN b.text) > 0
+    """,
     # Connected components (min-member label, string compare — matching
     # components_unionfind) over the pipeline's ACTUAL edge set:
     # MinHash-LSH (TEXT_CFG 16x8) star candidates reproduced bit-for-bit
@@ -2803,6 +3283,7 @@ QUERIES = {
     "orders_by_segment": orders_by_segment,
     "ann_topk": ann_topk,
     "ann_topk_lsh": ann_topk_lsh,
+    "ann_topk_lsh_partitioned": ann_topk_lsh_partitioned,
     "ann_topk_ivf": ann_topk_ivf,
     "ann_recall": ann_recall,
     "embedding_near_dups": embedding_near_dups,
@@ -2812,6 +3293,7 @@ QUERIES = {
     "doc_clusters": doc_clusters,
     "simhash_text_pairs": simhash_text_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "substring_dup_pairs": substring_dup_pairs,
     "decode_resize_features": decode_resize_features,
     "audio_features": audio_features,
     "video_frame_stats": video_frame_stats,

@@ -17,6 +17,7 @@ from hmse_ray.functions import (
     minhash,
     murmur3,
     simhash,
+    suffixarray,
 )
 
 RNG = np.random.default_rng(42)
@@ -480,3 +481,83 @@ class TestVideoCodec:
             videocodec.decode_frame(blob, 5)
         with pytest.raises(ValueError):
             videocodec.probe(b"XXXX\x00\x00\x00\x00\x00\x00")
+
+
+class TestSuffixArray:
+    """functions/suffixarray.py — the north rule's named substring
+    matcher (bsdiff's qsufsort role, README.md:1402)."""
+
+    def test_build_matches_sorted_suffixes(self):
+        import random
+
+        rng = random.Random(7)
+        for _ in range(40):
+            n = rng.randrange(0, 200)
+            data = bytes(rng.randrange(4) for _ in range(n))  # small alphabet
+            sa = suffixarray.build(data)
+            assert list(sa) == sorted(range(n), key=lambda i: data[i:])
+
+    def test_find_present_and_absent(self):
+        data = b"the quick brown fox jumps over the lazy dog"
+        sa = suffixarray.build(data)
+        for needle in (b"quick", b"the", b"g", b"", data):
+            pos = suffixarray.find(data, sa, needle)
+            assert pos >= 0 and data[pos : pos + len(needle)] == needle
+        assert suffixarray.find(data, sa, b"zebra") == -1
+        assert suffixarray.find(data, sa, data + b"!") == -1
+
+    def test_longest_match_is_exact_longest(self):
+        import random
+
+        rng = random.Random(11)
+        for _ in range(30):
+            n = rng.randrange(1, 150)
+            data = bytes(rng.randrange(4) for _ in range(n))
+            sa = suffixarray.build(data)
+            target = bytes(rng.randrange(4) for _ in range(rng.randrange(1, 50)))
+            for i in range(0, len(target), 5):
+                pos, ln = suffixarray.longest_match(data, sa, target, i)
+                brute = 0
+                for p in range(n):
+                    m = 0
+                    while (
+                        p + m < n
+                        and i + m < len(target)
+                        and data[p + m] == target[i + m]
+                    ):
+                        m += 1
+                    brute = max(brute, m)
+                assert ln == brute
+                if ln:
+                    assert data[pos : pos + ln] == target[i : i + ln]
+
+    def test_sa_delta_second_chance(self):
+        """A target whose edits defeat the 8-candidate hash probe but
+        not exact longest-match search: the SA encoder must recover a
+        DELTA where the fast encoders alone would store FULL."""
+        # shuffled-block permutation of a large incompressible base:
+        # zdict sees only the last 32 KB; the hash encoder finds the
+        # blocks too (same seeds) so compare encoders directly instead
+        base = RAND_1MB[:65536]
+        blocks = [base[i : i + 4096] for i in range(0, len(base), 4096)]
+        target = b"".join(reversed(blocks))
+        s = delta._encode_ops_sa(base, target)
+        assert s is not None
+        assert delta._apply_ops(base, s) == target
+        assert len(s) < 0.02 * len(target)
+
+    def test_sa_delta_roundtrip_random_edits(self):
+        import random
+
+        rng = random.Random(3)
+        base = RAND_1MB[:20000]
+        target = bytearray(base)
+        for _ in range(20):
+            p = rng.randrange(len(target))
+            target[p : p + 3] = bytes(rng.randrange(256) for _ in range(3))
+        target = bytes(target)
+        s = delta._encode_ops_sa(base, target)
+        assert s is not None
+        assert delta._apply_ops(base, s) == target
+        d = delta.delta_encode(base, target, CFG)
+        assert d is not None and delta.delta_apply(base, d) == target

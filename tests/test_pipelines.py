@@ -227,3 +227,33 @@ class TestResume:
             open(os.path.join(out, "phase1", "part=0", "lineage.json"))
         )
         assert lineage["input_files"]
+
+
+class TestSubstringCaptions:
+    def test_flag_links_contained_caption(self, ray_session):
+        """cfg.substring_captions=True links a caption wholly contained
+        in a much longer caption (too dissimilar for MinHash banding:
+        jaccard ~0.2 vs threshold 0.8); default False leaves them
+        apart."""
+        import pyarrow as pa
+
+        from hmse_ray.pipelines import dedup
+
+        short = "a remarkably specific caption about a turquoise bicycle " * 2
+        long_ = short + " entirely different trailing content " * 10
+        other = "unrelated text about volcanic geology and sediment layers " * 4
+        table = pa.table(
+            {
+                "image_id": ["s1", "s2", "s3"],
+                "caption": [short, long_, other],
+            }
+        )
+        base = dedup.cluster_assignments(
+            table, CFG, use_simhash=False
+        ).to_pandas().set_index("image_id")["cluster_id"]
+        assert base["s1"] != base["s2"]
+        on = dedup.cluster_assignments(
+            table, CFG.with_overrides(substring_captions=True), use_simhash=False
+        ).to_pandas().set_index("image_id")["cluster_id"]
+        assert on["s1"] == on["s2"]
+        assert on["s3"] != on["s1"]

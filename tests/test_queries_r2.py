@@ -52,6 +52,32 @@ class TestAnnRecall:
         )
         assert hit / 100 >= 0.9, hit
 
+    def test_lsh_partitioned_matches_broadcast(self, ray_session):
+        """The query-PARTITIONED variant (queries as a Dataset, one
+        co-partition shuffle on the bucket key — the >1k-query scale
+        shape) returns EXACTLY the broadcast variant's results: same
+        probe sets, same candidates, same (-score, vec_id) tie-break."""
+        from hmse_ray.pipelines.queries import (
+            ann_topk_lsh,
+            ann_topk_lsh_partitioned,
+        )
+
+        cols = ["query_id", "score_r", "vec_id"]
+        a = (
+            ann_topk_lsh(SF, n_queries=100)
+            .to_pandas()
+            .sort_values(cols)
+            .reset_index(drop=True)
+        )
+        b = (
+            ann_topk_lsh_partitioned(SF, n_queries=100)
+            .to_pandas()
+            .sort_values(cols)
+            .reset_index(drop=True)
+        )
+        assert len(a) == len(b) > 0
+        assert a[cols].equals(b[cols])
+
 
 class TestEmbeddingNearDups:
     def test_planted_pairs_found(self, ray_session):
@@ -257,3 +283,52 @@ class TestCheckpointMarkers:
         stats = checkpoint.run_phase2(out, CFG)
         assert stats["n_total"] > 0
         assert clusters().equals(before)
+
+
+class TestSubstringDups:
+    def test_matches_bruteforce_containment(self, ray_session):
+        """substring_dup_pairs == the exact position() cross join at
+        sf0.001 (winnowing recall guarantee holds: min doc len 47 >=
+        23 = k + window - 1)."""
+        import pyarrow.parquet as pq
+
+        from hmse_ray.pipelines.queries import substring_dup_pairs
+
+        df = substring_dup_pairs(SF).to_pandas()
+        docs = pq.read_table(
+            os.path.join(SF, "documents.parquet"), columns=["doc_id", "text"]
+        ).to_pandas()
+        txt = dict(zip(docs["doc_id"], docs["text"]))
+        truth = set()
+        items = list(txt.items())
+        for a, ta in items:
+            for b, tb in items:
+                if len(ta) >= 23 and len(ta) < len(tb) and ta in tb:
+                    truth.add((a, b))
+        got = set(zip(df["id_sub"], df["id_sup"]))
+        assert got == truth and len(truth) > 0
+        for r in df.itertuples():
+            assert r.len_sub == len(txt[r.id_sub])
+            assert r.len_sup == len(txt[r.id_sup])
+
+    def test_planted_containment_recall(self, ray_session):
+        """Planted sub/sup rows (including multi-container subs and an
+        equal-length non-pair) come back exactly — recall 1 at or above
+        the winnowing guarantee length."""
+        import ray.data as rd
+
+        from hmse_ray.pipelines.queries import substring_dup_docs
+
+        base = "the quick brown fox jumps over the lazy dog " * 4  # 180 chars
+        rows = [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": "PREFIX " + base + " SUFFIX"},
+            {"doc_id": 3, "text": "x" * 40 + base + "y" * 40},
+            {"doc_id": 4, "text": base[: len(base) - 1] + "!"},  # same len, not contained
+            {"doc_id": 5, "text": "completely unrelated content " * 8},
+        ]
+        df = substring_dup_docs(rd.from_items(rows)).to_pandas()
+        got = set(zip(df["id_sub"], df["id_sup"]))  # generic path: string ids
+        assert ("1", "2") in got and ("1", "3") in got
+        assert all(p[0] != "4" and p[1] != "4" for p in got)
+        assert all("5" not in p for p in got)
