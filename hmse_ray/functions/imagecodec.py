@@ -18,6 +18,13 @@ The input table carries encoded images as opaque binary (input_hint:
     regenerate decoded pixels and keep decode_resize_features
     hash-verified (queries.py:_decode_resize_sql). If PIL is importable
     at runtime, unknown fmts fall through to it on decode.
+  - fmt "jfif" — REAL baseline JPEG (round 4): ITU-T T.81 sequential
+    DCT via the pure-numpy codec in hmse_ray.functions.jpegcodec
+    (JFIF markers, Annex K tables scaled by the libjpeg quality curve,
+    Huffman entropy coding, float DCT/IDCT). Genuinely lossy —
+    verified by roundtrip PSNR (>= 40 dB at the default quality even
+    on max-entropy noise), NOT by a SQL hash: float DCT is not
+    SQL-reproducible, which is why "jpeg" keeps the stand-in.
   - any other fmt raises NotImplementedError (PIL-gated).
 
 The synthetic fixtures in hmse_ray.sources.fixtures encode with these
@@ -41,7 +48,12 @@ except ImportError:
 
 _QUANT_STEP = 4  # "jpeg" stand-in: quantize each channel to multiples of 4
 
-OWN_FORMATS = ("raw", "png", "jpeg")
+# default jfif quality: 98 keeps roundtrip PSNR >= 40 dB even on
+# max-entropy noise payloads (the fixture's murmur pixels); real photos
+# clear 40 dB from quality ~90
+JFIF_QUALITY = 98
+
+OWN_FORMATS = ("raw", "png", "jpeg", "jfif")
 
 
 def encode(pixels: np.ndarray, fmt: str, level: int = 6) -> bytes:
@@ -56,6 +68,10 @@ def encode(pixels: np.ndarray, fmt: str, level: int = 6) -> bytes:
     if fmt == "jpeg":
         q = (pixels // _QUANT_STEP).astype(np.uint8)
         return zlib.compress(q.tobytes(), level)
+    if fmt == "jfif":
+        from hmse_ray.functions.jpegcodec import jfif_encode
+
+        return jfif_encode(pixels, JFIF_QUALITY)
     raise NotImplementedError(
         f"fmt {fmt!r}: real image encoding requires PIL (absent in this container)"
     )
@@ -77,6 +93,13 @@ def decode(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         return (q.astype(np.uint16) * _QUANT_STEP + _QUANT_STEP // 2 - 1).clip(0, 255).astype(
             np.uint8
         )
+    if fmt == "jfif":
+        from hmse_ray.functions.jpegcodec import jfif_decode
+
+        px = jfif_decode(data)
+        if px.shape != (h, w, 3):
+            raise ValueError(f"JFIF header {px.shape[:2]} != expected {(h, w)}")
+        return px
     if _HAVE_PIL:  # pragma: no cover
         import io
 

@@ -1934,6 +1934,63 @@ def decode_resize_features(sf_dir):
     return feats.map_batches(summarize, batch_format="pyarrow")
 
 
+def jfif_roundtrip_psnr(sf_dir, every_n: int = 5):
+    """REAL baseline-JPEG path (rows-only IRREDUCIBLY: the codec's
+    float DCT/IDCT is not SQL-reproducible — that is exactly why the
+    deterministic "jpeg" stand-in still exists for the hash-green
+    decode_resize_features oracle; this query instead asserts the
+    north-rule PSNR >= 40 dB invariant through the genuine lossy
+    container): 1-in-``every_n`` images derived from documents ->
+    decode -> re-encode as spec-compliant JFIF (functions/jpegcodec.py:
+    T.81 markers, Annex K tables, Huffman entropy coding) -> decode ->
+    PSNR vs source pixels. One row: n_images, n_psnr_ge_40 (== n_images
+    at the default quality), min_psnr."""
+    from hmse_ray.functions import imagecodec
+    from hmse_ray.sources import fixtures
+
+    images = fixtures.images_from_documents_ds(sf_dir)
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        ids = t["image_id"].to_pylist()
+        # ids look like "img-doc00000015": sample on the trailing digits
+        keep = [
+            i for i, s in enumerate(ids)
+            if int("".join(ch for ch in s if ch.isdigit()) or 0) % every_n == 0
+        ]
+        psnrs = []
+        for i in keep:
+            px = imagecodec.decode(
+                t["bytes"][i].as_py(), t["w"][i].as_py(), t["h"][i].as_py(),
+                t["fmt"][i].as_py(),
+            )
+            back = imagecodec.decode(
+                imagecodec.encode(px, "jfif"), px.shape[1], px.shape[0], "jfif"
+            )
+            psnrs.append(imagecodec.psnr(px, back))
+        p = np.array(psnrs, dtype=np.float64)
+        return pa.table(
+            {
+                "psnr": pa.array(p, pa.float64()),
+                "ok": pa.array((p >= 40.0).astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = images.map_batches(roundtrip, batch_format="pyarrow").aggregate(
+        Count(alias_name="n_images"),
+        Sum("ok", alias_name="n_psnr_ge_40"),
+        Min("psnr", alias_name="min_psnr"),
+    )
+    return pd.DataFrame(
+        [
+            {
+                "n_images": int(agg["n_images"]),
+                "n_psnr_ge_40": int(agg["n_psnr_ge_40"]),
+                "min_psnr": round(float(agg["min_psnr"]), 2),
+            }
+        ]
+    )
+
+
 def audio_features(sf_dir):
     """Audio path (SQL-checked): WAV clips derived in-stream from
     documents -> pure-numpy RIFF/PCM16 decode fused with the per-clip
@@ -3295,6 +3352,7 @@ QUERIES = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "substring_dup_pairs": substring_dup_pairs,
     "decode_resize_features": decode_resize_features,
+    "jfif_roundtrip_psnr": jfif_roundtrip_psnr,
     "audio_features": audio_features,
     "video_frame_stats": video_frame_stats,
     "random_pair_jaccard_hist": random_pair_jaccard_hist,

@@ -561,3 +561,77 @@ class TestSuffixArray:
         assert delta._apply_ops(base, s) == target
         d = delta.delta_encode(base, target, CFG)
         assert d is not None and delta.delta_apply(base, d) == target
+
+
+class TestJfifCodec:
+    """functions/jpegcodec.py — real baseline JPEG (ITU-T T.81, JFIF)."""
+
+    def _gradient(self, h=72, w=96):
+        yy, xx = np.mgrid[0:h, 0:w]
+        return np.stack(
+            [
+                (xx * 255 // w).astype(np.uint8),
+                (yy * 255 // h).astype(np.uint8),
+                ((xx + yy) * 255 // (h + w)).astype(np.uint8),
+            ],
+            axis=-1,
+        )
+
+    def test_marker_structure(self):
+        from hmse_ray.functions.jpegcodec import jfif_encode
+
+        blob = jfif_encode(self._gradient(), 90)
+        assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+        assert b"JFIF\x00" in blob[:30]
+        for marker in (b"\xff\xdb", b"\xff\xc0", b"\xff\xc4", b"\xff\xda"):
+            assert marker in blob
+
+    def test_roundtrip_psnr_smooth(self):
+        from hmse_ray.functions.jpegcodec import jfif_decode, jfif_encode
+
+        px = self._gradient()
+        dec = jfif_decode(jfif_encode(px, 90))
+        assert dec.shape == px.shape
+        assert imagecodec.psnr(px, dec) >= 45.0
+
+    def test_roundtrip_psnr_noise_default_quality(self):
+        """Max-entropy noise is JPEG's worst case; the engine default
+        quality (imagecodec.JFIF_QUALITY) must still clear the
+        north-rule 40 dB invariant."""
+        px = RNG.integers(0, 256, (72, 96, 3), dtype=np.uint8).astype(np.uint8)
+        dec = imagecodec.decode(
+            imagecodec.encode(px, "jfif"), 96, 72, "jfif"
+        )
+        assert imagecodec.psnr(px, dec) >= 40.0
+
+    def test_odd_dimensions_and_flat(self):
+        from hmse_ray.functions.jpegcodec import jfif_decode, jfif_encode
+
+        px = self._gradient(70, 93)
+        dec = jfif_decode(jfif_encode(px, 95))
+        assert dec.shape == (70, 93, 3)
+        flat = np.full((40, 40, 3), 137, np.uint8)
+        dflat = jfif_decode(jfif_encode(flat, 75))
+        assert (dflat == flat).all()
+
+    def test_deterministic(self):
+        from hmse_ray.functions.jpegcodec import jfif_encode
+
+        px = self._gradient()
+        assert jfif_encode(px, 90) == jfif_encode(px, 90)
+
+    def test_decoder_reads_tables_from_stream(self):
+        """Quality changes the DQT in the FILE; the decoder must follow
+        it (tables are parsed, not assumed)."""
+        from hmse_ray.functions.jpegcodec import jfif_decode, jfif_encode
+
+        px = self._gradient()
+        lo = jfif_decode(jfif_encode(px, 30))
+        hi = jfif_decode(jfif_encode(px, 95))
+        assert imagecodec.psnr(px, hi) > imagecodec.psnr(px, lo)
+
+    def test_not_a_jpeg_raises(self):
+        from hmse_ray.functions.jpegcodec import jfif_decode
+
+        with pytest.raises(ValueError):
+            jfif_decode(b"PNG!not-a-jpeg")

@@ -316,3 +316,39 @@ class TestDedupStats:
         assert len(st) == 1
         assert st.n_total[0] >= st.n_unique[0] > 0
         assert st.dedup_ratio[0] >= 1.0
+
+
+class TestJfifThroughStages:
+    def test_decode_resize_stage_jfif_rows(self, ray_session):
+        """fmt='jfif' (real baseline JPEG) flows through the multimodal
+        decode+resize actor pool like any other format; resized pixels
+        track the raw-encoded source within JPEG loss."""
+        import numpy as np
+
+        from hmse_ray.functions import imagecodec
+        from hmse_ray.pipelines import dedup
+        from hmse_ray.stages import multimodal
+
+        rng = np.random.default_rng(3)
+        px = [rng.integers(0, 256, (24, 32, 3), dtype=np.uint8) for _ in range(4)]
+        t = pa.table(
+            {
+                "image_id": [f"j{i}" for i in range(4)],
+                "bytes": [imagecodec.encode(p, "jfif") for p in px],
+                "w": pa.array([32] * 4, pa.int32()),
+                "h": pa.array([24] * 4, pa.int32()),
+                "fmt": ["jfif"] * 4,
+                "caption": ["c"] * 4,
+                "phash": pa.array([0] * 4, pa.int64()),
+            }
+        )
+        out = multimodal.decode_resize_stage(
+            dedup.read_images(t), out_w=16, out_h=8
+        ).to_pandas()
+        assert len(out) == 4 and all(len(p) == 16 * 8 * 3 for p in out["pixels"])
+        # decoded-resized pixels approximate the source (JPEG-lossy)
+        srcs = {f"j{i}": p for i, p in enumerate(px)}
+        for r in out.itertuples():
+            dec = np.array(r.pixels, dtype=np.int64).reshape(8, 16, 3)
+            src = srcs[r.image_id][::3, ::2][:8, :16].astype(np.int64)
+            assert np.abs(dec - src).mean() < 48  # q98 noise error bound
