@@ -57,15 +57,29 @@ def main(argv=None) -> int:
         }))
         return 0
 
+    import os
+
     import ray
 
     owns_session = not ray.is_initialized()
     if owns_session:
-        ray.init(address="local", num_cpus=args.num_cpus,
-                 include_dashboard=False, logging_level="ERROR")
+        # Under `ray job submit` (the north rule's launch path) the job
+        # server exports RAY_ADDRESS; connect to THAT cluster instead of
+        # starting a local one. --num-cpus applies only to local mode —
+        # a real cluster's size is fixed by its nodes.
+        addr = os.environ.get("RAY_ADDRESS", "local")
+        if addr and addr not in ("local",):
+            ray.init(address=addr, logging_level="ERROR")
+        else:
+            ray.init(address="local", num_cpus=args.num_cpus,
+                     include_dashboard=False, logging_level="ERROR")
         from hmse_ray.util import tune_data_context
 
-        tune_data_context(args.num_cpus)
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", args.num_cpus))
+        except Exception:
+            cpus = args.num_cpus
+        tune_data_context(cpus)
     try:
         from hmse_ray.config import DEFAULT_CONFIG as cfg
         from hmse_ray.pipelines import dedup
