@@ -233,6 +233,72 @@ def compression_accounting(sf_dir):
     return agg.map_batches(cf, batch_format="pyarrow")
 
 
+def compression_accounting_shared(sf_dir, sample_every: int = 50):
+    """T3 shared-dictionary L1 (rows-only IRREDUCIBLY: zlib — same as
+    compression_accounting; the shared-vs-per-record CF win is pinned
+    by pytest instead): one <= 1 MB preset dictionary per source,
+    trained from a deterministic doc_id % ``sample_every`` sample and
+    broadcast once (ray.put), then every record compresses against its
+    source's dictionary — the Ray-native analog of the reference's
+    sequential 1 MB sliding window (README.md:288; functions/compress.py
+    docstring). Output: (source, bytes_in, bytes_out, cf) like
+    compression_accounting, directly comparable."""
+    from hmse_ray.functions import compress as compress_fn
+
+    # pass 1 (tiny): deterministic sample -> per-source dictionary
+    def sample_rows(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(t["doc_id"].to_numpy() % sample_every == 0))
+
+    sample = (
+        _docs(sf_dir, ["doc_id", "source", "text"])
+        .map_batches(sample_rows, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    dicts = {
+        src: compress_fn.train_dictionary([t.encode() for t in g["text"]])
+        for src, g in sample.groupby("source")
+    }
+    dref = ray.put(dicts)
+
+    def comp(batch: pa.Table) -> pa.Table:
+        dd = ray.get(dref)
+        texts = batch["text"].to_pylist()
+        srcs = batch["source"].to_pylist()
+        bin_, bout = [], []
+        for s, t in zip(srcs, texts):
+            raw = (t or "").encode()
+            payload, _ = compress_fn.compress_record_dict(raw, dd.get(s, b""), CFG)
+            bin_.append(len(raw))
+            bout.append(len(payload))
+        return pa.table(
+            {
+                "source": batch["source"],
+                "bytes_in": pa.array(bin_, pa.int64()),
+                "bytes_out": pa.array(bout, pa.int64()),
+            }
+        )
+
+    agg = (
+        _docs(sf_dir, ["source", "text"])
+        .map_batches(comp, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("bytes_in", alias_name="bytes_in"),
+                   Sum("bytes_out", alias_name="bytes_out"))
+    )
+
+    def cf(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "cf",
+            pc.divide(
+                pc.cast(batch["bytes_in"], pa.float64()),
+                pc.cast(batch["bytes_out"], pa.float64()),
+            ),
+        )
+
+    return agg.map_batches(cf, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- text stats
 
 
@@ -3327,6 +3393,7 @@ QUERIES = {
     "cdc_chunk_index": cdc_chunk_index,
     "cdc_source_chunks": cdc_source_chunks,
     "compression_accounting": compression_accounting,
+    "compression_accounting_shared": compression_accounting_shared,
     "token_counts": token_counts,
     "char_class_profile": char_class_profile,
     "lang_id_docs": lang_id_docs,

@@ -635,3 +635,38 @@ class TestJfifCodec:
 
         with pytest.raises(ValueError):
             jfif_decode(b"PNG!not-a-jpeg")
+
+
+class TestSharedDictCompression:
+    """T3 analog: per-partition shared preset dictionary (round 4)."""
+
+    def test_roundtrip_and_envelope(self):
+        docs = [(b"the common preamble of every record " * 8) + str(i).encode()
+                for i in range(20)]
+        zd = compress.train_dictionary(docs[:5])
+        for d in docs[5:]:
+            payload, env = compress.compress_record_dict(d, zd, CFG)
+            assert env == compress.COMPRESSED_DICT
+            assert compress.decompress_record(payload, env, zd) == d
+
+    def test_dict_beats_per_record_on_redundant_corpus(self):
+        shared = b"a long shared boilerplate paragraph that recurs " * 20
+        docs = [shared + b"unique suffix %d" % i for i in range(30)]
+        zd = compress.train_dictionary(docs[:3])
+        per = sum(len(compress.compress_record(d, CFG)[0]) for d in docs[3:])
+        wd = sum(len(compress.compress_record_dict(d, zd, CFG)[0]) for d in docs[3:])
+        assert wd < per * 0.5  # cross-record redundancy recovered
+
+    def test_incompressible_stays_stored(self):
+        zd = compress.train_dictionary([RAND_1MB[:4096]])
+        payload, env = compress.compress_record_dict(RAND_1MB[8192:12288], zd, CFG)
+        assert env == compress.STORED and payload == RAND_1MB[8192:12288]
+
+    def test_dict_missing_raises(self):
+        with pytest.raises(ValueError):
+            compress.decompress_record(b"x", compress.COMPRESSED_DICT)
+
+    def test_train_truncates_to_window(self):
+        zd = compress.train_dictionary([RAND_1MB, RAND_1MB])
+        assert len(zd) == compress.DICT_MAX_BYTES
+        assert zd == (RAND_1MB + RAND_1MB)[-compress.DICT_MAX_BYTES:]

@@ -332,3 +332,24 @@ class TestSubstringDups:
         assert ("1", "2") in got and ("1", "3") in got
         assert all(p[0] != "4" and p[1] != "4" for p in got)
         assert all("5" not in p for p in got)
+
+
+class TestSharedDictAccounting:
+    def test_shared_dict_never_worse_sometimes_better(self, ray_session):
+        """compress_record_dict falls back to per-record when the
+        dictionary doesn't help, so per-source CF is >= the per-record
+        CF everywhere, and strictly better where the sample catches
+        cross-record redundancy."""
+        from hmse_ray.pipelines.queries import (
+            compression_accounting,
+            compression_accounting_shared,
+        )
+
+        per = compression_accounting(SF).to_pandas().set_index("source")["cf"]
+        sh = (
+            compression_accounting_shared(SF)
+            .to_pandas()
+            .set_index("source")["cf"]
+        )
+        assert set(per.index) == set(sh.index)
+        assert (sh[per.index] >= per - 1e-9).all()
