@@ -334,6 +334,30 @@ class TestSubstringDups:
         assert all("5" not in p for p in got)
 
 
+class TestSubstringDupsCap:
+    def test_max_bucket_cap_keeps_longest_sups(self, ray_session):
+        """The documented skew cap: over-cap fingerprint buckets keep
+        only their LONGEST sup rows (containment targets are
+        length-biased), so with max_bucket=1 the longest container
+        survives while shorter ones may drop — and the default cap
+        keeps both."""
+        import ray.data as rd
+
+        from hmse_ray.pipelines.queries import substring_dup_docs
+
+        base = "the quick brown fox jumps over the lazy dog " * 4
+        rows = [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": "PREFIX " + base + " SUFFIX"},
+            {"doc_id": 3, "text": "x" * 40 + base + "y" * 40},
+        ]
+        full = substring_dup_docs(rd.from_items(rows)).to_pandas()
+        assert {("1", "2"), ("1", "3")} <= set(zip(full["id_sub"], full["id_sup"]))
+        capped = substring_dup_docs(rd.from_items(rows), max_bucket=1).to_pandas()
+        got = set(zip(capped["id_sub"], capped["id_sup"]))
+        assert ("1", "3") in got  # the longest container always survives
+
+
 class TestSharedDictAccounting:
     def test_shared_dict_never_worse_sometimes_better(self, ray_session):
         """compress_record_dict falls back to per-record when the
