@@ -26,6 +26,18 @@ def main(argv=None) -> int:
     p.add_argument("--output", required=True)
     p.add_argument("--num-cpus", type=int, default=32)
     p.add_argument("--no-simhash", action="store_true")
+    p.add_argument("--substring-captions", action="store_true",
+                   help="also link captions wholly contained in a longer "
+                        "caption (suffix-array substring matching)")
+
+    p = sub.add_parser(
+        "substring", help="(id, text) parquet -> containment pairs "
+        "(suffix-array substring matching)")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--num-cpus", type=int, default=32)
 
     p = sub.add_parser("resumable", help="checkpointed two-phase run")
     p.add_argument("--input-files", nargs="+", required=True)
@@ -85,11 +97,24 @@ def main(argv=None) -> int:
         from hmse_ray.pipelines import dedup
 
         if args.cmd == "cluster":
+            if args.substring_captions:
+                cfg = cfg.with_overrides(substring_captions=True)
             clusters = dedup.cluster_assignments(
                 args.input, cfg, use_simhash=not args.no_simhash
             )
             clusters.write_parquet(args.output)
             print(json.dumps({"rows": clusters.count(), "output": args.output}))
+        elif args.cmd == "substring":
+            import ray.data as rd
+
+            from hmse_ray.pipelines.queries import substring_dup_docs
+
+            pairs = substring_dup_docs(
+                rd.read_parquet(args.input, columns=[args.id_col, args.text_col]),
+                id_col=args.id_col, text_col=args.text_col,
+            )
+            pairs.write_parquet(args.output)
+            print(json.dumps({"rows": pairs.count(), "output": args.output}))
         elif args.cmd == "resumable":
             from hmse_ray.state import checkpoint
 
