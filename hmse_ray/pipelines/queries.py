@@ -1885,6 +1885,29 @@ def substring_dup_docs(docs, k: int = 8, window: int = 16,
     return copartition_two(cand_texts, texts, "doc_id", j2_schema, verify)
 
 
+def substring_doc_clusters(sf_dir):
+    """Containment clusters (SQL-checked END-TO-END — candidates,
+    suffix-array verification AND connected components all reproduced
+    by the oracle): strict substring containment pairs
+    (substring_dup_docs, guaranteed recall at >= 23 chars) treated as
+    undirected duplicate edges -> connected components ->
+    (image_id, cluster_id) with min-string-member labels; singletons
+    keep their own id. The cluster-level twin of substring_dup_pairs,
+    mirroring what doc_clusters is to minhash_doc_pairs."""
+    from hmse_ray.stages import clustering
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    edges = substring_dup_docs(docs).map_batches(
+        lambda t: pa.table({"src": t["id_sub"], "dst": t["id_sup"]}),
+        batch_format="pyarrow",
+    )
+    images = docs.map_batches(
+        lambda t: pa.table({"image_id": pc.cast(t["doc_id"], pa.string())}),
+        batch_format="pyarrow",
+    )
+    return clustering.cluster_from_edges(edges, images, CFG)
+
+
 def substring_dup_pairs(sf_dir):
     """North-rule suffix-array substring matching over the documents
     table (SQL-checked: the oracle is an exact position() containment
@@ -3279,6 +3302,29 @@ ORACLES = {
           AND length(a.text) < length(b.text)
           AND position(a.text IN b.text) > 0
     """,
+    # Containment edges -> recursive-CTE connected components with
+    # min-string-member labels (same CC shape as _doc_clusters_sql)
+    "substring_doc_clusters": """
+        WITH RECURSIVE e0 AS (
+          SELECT a.doc_id AS a, b.doc_id AS b
+          FROM documents a, documents b
+          WHERE length(a.text) >= 23
+            AND length(a.text) < length(b.text)
+            AND position(a.text IN b.text) > 0
+        ), edges AS (
+          SELECT CAST(a AS VARCHAR) AS u, CAST(b AS VARCHAR) AS v FROM e0
+          UNION SELECT CAST(b AS VARCHAR), CAST(a AS VARCHAR) FROM e0
+        ), reach(u, v) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        ), lbl AS (
+          SELECT u, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+        )
+        SELECT CAST(d.doc_id AS VARCHAR) AS image_id,
+               coalesce(l.cluster_id, CAST(d.doc_id AS VARCHAR)) AS cluster_id
+        FROM documents d LEFT JOIN lbl l ON l.u = CAST(d.doc_id AS VARCHAR)
+    """,
     # Connected components (min-member label, string compare — matching
     # components_unionfind) over the pipeline's ACTUAL edge set:
     # MinHash-LSH (TEXT_CFG 16x8) star candidates reproduced bit-for-bit
@@ -3418,6 +3464,7 @@ QUERIES = {
     "simhash_text_pairs": simhash_text_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "substring_dup_pairs": substring_dup_pairs,
+    "substring_doc_clusters": substring_doc_clusters,
     "decode_resize_features": decode_resize_features,
     "jfif_roundtrip_psnr": jfif_roundtrip_psnr,
     "audio_features": audio_features,

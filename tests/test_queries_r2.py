@@ -377,3 +377,39 @@ class TestSharedDictAccounting:
         )
         assert set(per.index) == set(sh.index)
         assert (sh[per.index] >= per - 1e-9).all()
+
+
+class TestSubstringClusters:
+    def test_clusters_match_bruteforce_cc(self, ray_session):
+        """substring_doc_clusters == union-find over the exact
+        containment cross join (min-string labels, singletons self)."""
+        import pyarrow.parquet as pq
+
+        from hmse_ray.pipelines.queries import substring_doc_clusters
+
+        res = substring_doc_clusters(SF).to_pandas()
+        docs = pq.read_table(
+            os.path.join(SF, "documents.parquet"), columns=["doc_id", "text"]
+        ).to_pandas()
+        txt = dict(zip(docs["doc_id"], docs["text"]))
+        parent = {str(i): str(i) for i in txt}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        items = list(txt.items())
+        for a, ta in items:
+            for b, tb in items:
+                if len(ta) >= 23 and len(ta) < len(tb) and ta in tb:
+                    ra, rb = find(str(a)), find(str(b))
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        want = {str(i): min(
+            (m for m in parent if find(m) == find(str(i))), key=str
+        ) for i in txt}
+        got = dict(zip(res["image_id"], res["cluster_id"]))
+        assert got == want
+        assert len(res) == len(txt)
