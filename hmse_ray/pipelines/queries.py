@@ -24,6 +24,10 @@ Operator coverage map (SURVEY.md section 2 -> query):
   exact similarity join .... ngram_jaccard_pairs / exact_jaccard_pairs
                              (prefix filtering, guaranteed recall,
                              SQL-checked)
+  substring matching ....... substring_dup_pairs / substring_doc_clusters
+                             (suffix-array containment, winnowed 3-probe
+                             candidates with guaranteed recall — BOTH
+                             SQL-checked, incl. the recursive-CTE CC)
   sort/limit (sec 2.6) ..... top_longest_docs
   sampling O1 .............. sample_docs
   grouped agg (sec 2.5) .... dup_ratio_by_source, events_window_agg
