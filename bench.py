@@ -92,16 +92,34 @@ def run_bench() -> dict:
     n_flag = int(os.environ.get("GRAFT_FLAGSHIP_RUNS", "3"))
     walls = []
     n_images = 0
+    clusters = None
     for i in range(n_flag):
         t0 = time.time()
         # pass the PATH, not a Dataset: each branch then reads only its
         # columns (pushdown) instead of re-reading the full table (bytes
         # included) three times
         clusters = dedup.cluster_assignments(fdir + "/images", cfg)
-        if "--stats" in sys.argv and i == n_flag - 1:
+        if i == n_flag - 1:
+            # last run materializes (same execution cost as count on a
+            # lazy ds) so the north-metric recall check below does not
+            # re-run the pipeline
             clusters = clusters.materialize()
         n_images = clusters.count()
         walls.append(round(time.time() - t0, 3))
+    # north metric: dup-pair recall on the fixture's REQUIRED golden
+    # pairs (>= 0.99 per the north rule), computed from the last run's
+    # assignments — reported every bench so a recall regression is as
+    # visible as a slowdown
+    import pyarrow.parquet as pq
+
+    gp = pq.read_table(fdir + "/golden_pairs.parquet").to_pandas()
+    req = gp[gp.required]
+    lbl_df = clusters.to_pandas()
+    lbl = dict(zip(lbl_df["image_id"], lbl_df["cluster_id"]))
+    dup_pair_recall = (
+        sum(lbl[a] == lbl[b] for a, b in zip(req["id_a"], req["id_b"]))
+        / max(1, len(req))
+    )
     srt = sorted(walls)
     headline = (
         srt[len(srt) // 2]
@@ -148,6 +166,8 @@ def run_bench() -> dict:
         "num_cpus": NCPU,
         "bench_rows": BENCH_ROWS,
         "images_per_sec": round(n_images / headline, 1),
+        "dup_pair_recall": round(dup_pair_recall, 4),
+        "golden_required_pairs": int(len(req)),
         "flagship_runs": walls,
         # effective parallel speedup a pure-CPU burn achieves at NCPU
         # procs RIGHT NOW (vs 1 proc) — the tenancy context for the
