@@ -252,6 +252,30 @@ class TestCLI:
         assert sorted(t.column_names) == ["cluster_id", "image_id"]
         assert t.num_rows == 30
 
+    def test_substring_command(self, ray_session, tmp_path, capsys):
+        import json
+
+        import pyarrow.parquet as pq
+
+        from hmse_ray.run import main
+
+        out = str(tmp_path / "pairs")
+        rc = main(
+            [
+                "substring",
+                "--input", os.path.join(SF, "documents.parquet"),
+                "--output", out,
+            ]
+        )
+        assert rc == 0
+        res = json.loads(capsys.readouterr().out.strip())
+        assert res["rows"] == 28  # sf0.001 strict containment pairs
+        t = pq.read_table(out)
+        assert sorted(t.column_names) == [
+            "id_sub", "id_sup", "len_sub", "len_sup",
+        ]
+        assert t.num_rows == 28
+
 
 class TestCheckpointMarkers:
     def test_phase2_ignores_uncommitted_dirs(self, ray_session, tmp_path):
