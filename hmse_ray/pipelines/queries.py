@@ -200,6 +200,20 @@ def cdc_source_chunks(sf_dir):
     return hash_partitioned_groupby_arrow(docs, "source", chunk_part)
 
 
+def corpus_file_chunks(sf_dir):
+    """S1 raw-FILE source variant (SQL-checked against the SAME
+    recursive-CTE gear-hash oracle as cdc_source_chunks): per-source
+    corpus text files (derived once from the documents table,
+    byte-identical to the oracle's reconstructed streams) read via
+    ray.data.read_binary_files — the reference's own flat-byte-stream
+    input modality — then FastCDC + SHA-256 per file stream. Proves the
+    file-based read path end-to-end: same chunk cuts, same hashes."""
+    from hmse_ray.sources import corpus
+
+    cdir = corpus.write_corpus_files(sf_dir)
+    return corpus.chunk_corpus(corpus.read_corpus(cdir), CFG)
+
+
 def compression_accounting(sf_dir):
     """A1 (rows-only IRREDUCIBLY: the payloads are zlib/DEFLATE streams
     and DuckDB has no zlib — the driver records a rows-only check; the
@@ -3410,6 +3424,9 @@ ORACLES = {
     "video_frame_stats": _video_frame_stats_sql(),
     "embedding_near_dups": _embedding_near_dups_sql(),
     "cdc_source_chunks": _cdc_source_chunks_sql(),
+    # the file-based source reads byte-identical streams, so the same
+    # gear-hash oracle verifies it
+    "corpus_file_chunks": _cdc_source_chunks_sql(),
     "random_pair_true_jaccard_hist": _random_pair_true_jaccard_hist_sql(),
     "simhash_text_pairs": _simhash_text_pairs_sql(),
     "minhash_doc_pairs": _minhash_doc_pairs_sql(),
@@ -3442,6 +3459,7 @@ QUERIES = {
     "cdc_chunk_stats": cdc_chunk_stats,
     "cdc_chunk_index": cdc_chunk_index,
     "cdc_source_chunks": cdc_source_chunks,
+    "corpus_file_chunks": corpus_file_chunks,
     "compression_accounting": compression_accounting,
     "compression_accounting_shared": compression_accounting_shared,
     "token_counts": token_counts,

@@ -437,3 +437,23 @@ class TestSubstringClusters:
         got = dict(zip(res["image_id"], res["cluster_id"]))
         assert got == want
         assert len(res) == len(txt)
+
+
+class TestCorpusFileSource:
+    def test_file_chunks_match_tabular(self, ray_session):
+        """The raw-file corpus source (read_binary_files over per-source
+        derived text files) produces exactly the tabular
+        cdc_source_chunks cuts — same streams, same gear hashes."""
+        from hmse_ray.pipelines.queries import cdc_source_chunks, corpus_file_chunks
+
+        cols = ["source", "chunk_idx", "chunk_len", "sha"]
+        a = (
+            corpus_file_chunks(SF).to_pandas()[cols]
+            .sort_values(cols).reset_index(drop=True)
+        )
+        b = (
+            cdc_source_chunks(SF).to_pandas()[cols]
+            .sort_values(cols).reset_index(drop=True)
+        )
+        assert len(a) == len(b) > 0
+        assert a.equals(b)
