@@ -78,6 +78,37 @@ def main():
 
     rows.append(("Video HVID 1-in-4 frame sample", timeit(vidjob, vid_mb), float("nan")))
 
+    # Suffix array build + greedy longest-match scan (bsdiff role, r4)
+    from hmse_ray.functions import delta, jpegcodec, suffixarray
+
+    base = text[:65536]
+    blocks = [base[i : i + 4096] for i in range(0, len(base), 4096)]
+    target = b"".join(reversed(blocks))
+    sa_mb = (len(base) + len(target)) / 1e6
+
+    def sajob():
+        sa = suffixarray.build(base)
+        i = 0
+        while i < len(target):
+            _, ln = suffixarray.longest_match(base, sa, target, i)
+            i += max(ln, 1)
+
+    rows.append(("Suffix array build+match (64KB)", timeit(sajob, sa_mb), float("nan")))
+
+    # Delta encode (hash ops + zdict smallest-wins) on a near-dup pair
+    nd_target = base[:300] + b"EDIT" + base[300:]
+    d_mb = len(nd_target) / 1e6
+    rows.append(
+        ("Delta encode (near-dup 64KB)", timeit(lambda: delta.delta_encode(base, nd_target, cfg), d_mb), float("nan"))
+    )
+
+    # Real JFIF codec (r4): encode / decode 96x72 RGB
+    jpx = rng.integers(0, 256, (72, 96, 3), dtype=np.uint8)
+    j_mb = jpx.nbytes / 1e6
+    rows.append(("JFIF encode 96x72 q98", timeit(lambda: jpegcodec.jfif_encode(jpx, 98), j_mb), float("nan")))
+    jblob = jpegcodec.jfif_encode(jpx, 98)
+    rows.append(("JFIF decode 96x72", timeit(lambda: jpegcodec.jfif_decode(jblob), j_mb), float("nan")))
+
     lines = [
         "| kernel | this repo (MB/s, 1 core) | reference budget (MB/s, ESP32-S3) |",
         "|---|---|---|",
