@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "events_window_agg",
     "orders_by_segment",
     "ann_topk",
+    "semantic_dedup",
     "minhash_doc_pairs",
     "doc_clusters",
     "substring_dup_pairs",

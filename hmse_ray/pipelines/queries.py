@@ -48,6 +48,11 @@ Operator coverage map (SURVEY.md section 2 -> query):
   M7-M9/J3/J4/A6 store ..... store_kind_stats, roundtrip_invariant
   embedding dedup .......... embedding_near_dups (planted, non-vacuous,
                              SQL-checked incl. the murmur perturbations)
+  semantic dedup ........... kmeans_clusters + semantic_dedup (SemDeDup:
+                             distributed quantized k-means + one-shot
+                             within-cluster cosine dedup — INTEGER-exact,
+                             both SQL-checked bit-for-bit incl. the
+                             unrolled Lloyd's iterations)
   flagship ................. image_clusters (images derived from documents,
                              STREAMING inside map_batches)
 """
@@ -1202,6 +1207,52 @@ def embedding_near_dups(sf_dir, threshold=0.98, plant: bool = True):
 
     return hash_partitioned_groupby_arrow(
         pairs.map_batches(packkey, batch_format="pyarrow"), "pairkey", uniq_part
+    )
+
+
+# ------------------------------------------------- semantic dedup (SemDeDup)
+
+
+def _emb_ds(sf_dir):
+    return rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+
+
+def kmeans_clusters(sf_dir, k: int | None = None, iters: int | None = None):
+    """Distributed quantized k-means over the embeddings table
+    (SQL-checked BIT-FOR-BIT: coordinates quantized to int64 once,
+    int-exact distances, centroid update rounded through one shared
+    IEEE double division, murmur3-ranked init — stages/kmeans.py has
+    the full exactness argument). Lloyd's runs as broadcast-centroid
+    streaming passes with k-row per-batch partials: NO shuffle at any
+    scale. Output (vec_id, cluster, dist2)."""
+    from hmse_ray.stages import kmeans
+
+    k = k or kmeans.K
+    iters = iters or kmeans.ITERS
+    emb = _emb_ds(sf_dir)
+    C = kmeans.lloyd(emb, k, iters)
+    return kmeans.assignments(emb, C)
+
+
+def semantic_dedup(sf_dir, k: int | None = None, iters: int | None = None):
+    """SemDeDup (Abbas et al., arXiv:2303.09540) over the embeddings
+    table (SQL-checked BIT-FOR-BIT): k-means the embedding space, then
+    one-shot within-cluster cosine dedup at t=0.9 against the rule
+    ``dot>0 and 100*dot^2 >= 81*|a|^2*|b|^2`` — all int64 on quantized
+    coords, so DuckDB reproduces planted rows, clustering, ranking and
+    flags exactly. Deterministic integer-level near-dups are planted
+    in-pipeline (every 20th vec_id, murmur-perturbed quantized coords,
+    cos ~ 0.9993) so the query is non-vacuous at every sf. The only
+    all-to-all is ONE hash partition by final cluster id; within-cluster
+    pairwise is SemDeDup's own bounded design (k is the lever).
+    Output (vec_id, cluster, is_dup, keeper_id)."""
+    from hmse_ray.stages import kmeans
+
+    return kmeans.semantic_dedup_ds(
+        _emb_ds(sf_dir), k or kmeans.K, iters or kmeans.ITERS, plant=True
     )
 
 
@@ -3204,7 +3255,156 @@ def _cdc_source_chunks_sql() -> str:
     """
 
 
+def _kmeans_ctes(k: int, iters: int, plant: bool) -> str:
+    """CTE text reproducing stages/kmeans.py bit-for-bit, ending at
+    ``af (vec_id, cluster, d2)`` with ``base (vec_id, i, qv)`` exposed.
+
+    Exactness hinges on three shared-IEEE facts (full argument in
+    stages/kmeans.py): quantization multiplies by 2^10 (exact in
+    double), every distance/dot is integer, and the centroid update's
+    single double division sees exactly-representable int operands on
+    both sides. The planted-twin perturbation is the same murmur3 CTE
+    chain the engine's numpy kernel evaluates (dim hardcoded 64 to
+    match the testdata embedding width in the plant key)."""
+    from hmse_ray.stages import kmeans as km
+
+    qsrc = f"""qb AS (
+          SELECT vec_id,
+                 unnest(generate_series(1, len(embedding))) - 1 AS i,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {km.SCALE}
+                            + 0.5) AS BIGINT) AS qv
+          FROM embeddings
+        )"""
+    if plant:
+        pch, plast = _mm_chain_sql(
+            "pl0", ["vec_id", "i", "qv"], {"hd": ("pl0.key", km.PLANT_SEED)},
+            "pd")
+        base = f"""{qsrc}, pl0 AS (
+          SELECT vec_id, i, qv, (vec_id * 64 + i) % {_MM_MASK} AS key
+          FROM qb WHERE vec_id % 20 = 0
+        ), {pch}, base AS (
+          SELECT vec_id, i, qv FROM qb
+          UNION ALL
+          SELECT vec_id + {km.PLANT_BASE} AS vec_id, i,
+                 qv + (hd % {2 * km.PLANT_AMP + 1} - {km.PLANT_AMP}) AS qv
+          FROM {plast}
+        )"""
+    else:
+        base = f"{qsrc}, base AS (SELECT vec_id, i, qv FROM qb)"
+    ich, ilast = _mm_chain_sql(
+        "ik0", ["vec_id"], {"hm": ("ik0.key", km.INIT_SEED)}, "ki")
+    parts = [
+        base,
+        f"""ik0 AS (
+          SELECT DISTINCT vec_id, vec_id % {_MM_MASK} AS key FROM base
+        )""",
+        ich,
+        f"""rk AS (
+          SELECT vec_id, row_number() OVER (ORDER BY hm, vec_id) - 1 AS j
+          FROM {ilast}
+        )""",
+        f"""c0 AS (
+          SELECT r.j, b.i, b.qv AS cv
+          FROM rk r JOIN base b USING (vec_id) WHERE r.j < {k}
+        )""",
+    ]
+    for r in range(1, iters + 1):
+        p = r - 1
+        parts += [
+            f"""d{r} AS (
+          SELECT b.vec_id, c.j, sum((b.qv - c.cv) * (b.qv - c.cv)) AS d2
+          FROM base b JOIN c{p} c ON b.i = c.i GROUP BY 1, 2
+        )""",
+            f"""a{r} AS (
+          SELECT vec_id, j FROM (
+            SELECT vec_id, j,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, j) AS rn
+            FROM d{r}) WHERE rn = 1
+        )""",
+            f"""n{r} AS (
+          SELECT a.j, b.i, sum(b.qv) AS s, count(*) AS n
+          FROM a{r} a JOIN base b USING (vec_id) GROUP BY 1, 2
+        )""",
+            f"""c{r} AS (
+          SELECT p.j, p.i,
+                 CASE WHEN u.s IS NULL THEN p.cv
+                      ELSE CAST(floor((2 * u.s + u.n) / (2 * u.n))
+                                AS BIGINT) END AS cv
+          FROM c{p} p LEFT JOIN n{r} u ON u.j = p.j AND u.i = p.i
+        )""",
+        ]
+    parts += [
+        f"""df AS (
+          SELECT b.vec_id, c.j,
+                 CAST(sum((b.qv - c.cv) * (b.qv - c.cv)) AS BIGINT) AS d2
+          FROM base b JOIN c{iters} c ON b.i = c.i GROUP BY 1, 2
+        )""",
+        """af AS (
+          SELECT vec_id, j AS cluster, d2 FROM (
+            SELECT vec_id, j, d2,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, j) AS rn
+            FROM df) WHERE rn = 1
+        )""",
+    ]
+    return ", ".join(parts)
+
+
+def _kmeans_clusters_sql() -> str:
+    from hmse_ray.stages import kmeans as km
+
+    return f"""
+        WITH {_kmeans_ctes(km.K, km.ITERS, plant=False)}
+        SELECT vec_id, cluster, d2 AS dist2 FROM af
+    """
+
+
+def _semantic_dedup_sql() -> str:
+    from hmse_ray.stages import kmeans as km
+
+    return f"""
+        WITH {_kmeans_ctes(km.K, km.ITERS, plant=True)}, nrm AS (
+          SELECT vec_id, sum(qv * qv) AS n2 FROM base GROUP BY 1
+        ), rnk AS (
+          SELECT vec_id, cluster,
+                 row_number() OVER (PARTITION BY cluster
+                                    ORDER BY d2, vec_id) AS r
+          FROM af
+        ), prs AS (
+          SELECT x.cluster, x.vec_id AS ua, x.r AS ra, y.vec_id AS vb
+          FROM rnk x JOIN rnk y ON x.cluster = y.cluster AND x.r < y.r
+        ), dots AS (
+          SELECT p.ua, p.ra, p.vb, sum(ba.qv * bb.qv) AS dot
+          FROM prs p
+          JOIN base ba ON ba.vec_id = p.ua
+          JOIN base bb ON bb.vec_id = p.vb AND bb.i = ba.i
+          GROUP BY 1, 2, 3
+        ), qual AS (
+          SELECT d.vb AS vec_id, min(d.ra) AS mr
+          FROM dots d
+          JOIN nrm na ON na.vec_id = d.ua
+          JOIN nrm nb ON nb.vec_id = d.vb
+          WHERE d.dot > 0
+            AND {km.T_DEN} * d.dot * d.dot >= {km.T_NUM} * na.n2 * nb.n2
+          GROUP BY 1
+        ), keep AS (
+          SELECT q.vec_id, r2.vec_id AS keeper
+          FROM qual q
+          JOIN rnk rv ON rv.vec_id = q.vec_id
+          JOIN rnk r2 ON r2.cluster = rv.cluster AND r2.r = q.mr
+        )
+        SELECT a.vec_id, a.cluster,
+               CAST(CASE WHEN kp.keeper IS NULL THEN 0 ELSE 1 END
+                    AS BIGINT) AS is_dup,
+               COALESCE(kp.keeper, a.vec_id) AS keeper_id
+        FROM af a LEFT JOIN keep kp USING (vec_id)
+    """
+
+
 ORACLES = {
+    "kmeans_clusters": _kmeans_clusters_sql(),
+    "semantic_dedup": _semantic_dedup_sql(),
     "exact_dedup_docs": """
         SELECT sha256(text) AS sha256, MIN(doc_id) AS canonical_id,
                COUNT(*) AS refcount
@@ -3479,6 +3679,8 @@ QUERIES = {
     "ann_topk_ivf": ann_topk_ivf,
     "ann_recall": ann_recall,
     "embedding_near_dups": embedding_near_dups,
+    "kmeans_clusters": kmeans_clusters,
+    "semantic_dedup": semantic_dedup,
     "store_kind_stats": store_kind_stats_docs,
     "roundtrip_invariant": roundtrip_invariant,
     "minhash_doc_pairs": minhash_doc_pairs,
