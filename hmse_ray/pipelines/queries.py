@@ -13,6 +13,10 @@ approximate by design).
 
 Operator coverage map (SURVEY.md section 2 -> query):
   J1/O4 exact dedup ........ exact_dedup_docs, cdc_chunk_index
+  incremental ingest ....... incremental_exact_dedup (persisted base
+                             index + one co-partition shuffle per delta
+                             shard — the reference's online
+                             insert/lookup semantics, SQL-checked)
   M3 chunking .............. fixed_chunk_histogram (SQL), cdc_chunk_stats,
                              cdc_source_chunks (REAL gear-hash cuts,
                              SQL-checked via recursive CTE oracle)
@@ -101,6 +105,46 @@ def exact_dedup_docs(sf_dir):
         .groupby("sha256")
         .aggregate(Min("doc_id", alias_name="canonical_id"), Count(alias_name="refcount"))
     )
+
+
+def incremental_exact_dedup(sf_dir):
+    """Incremental ingest (SQL-checked): the batch analog of the
+    reference's ONLINE sha-index insert/lookup (README.md:1209,1288) —
+    a persisted base index + one co-partition shuffle per delta shard
+    (pipelines/incremental.py has the full design). Here the documents
+    table is split deterministically: doc_id % 4 != 0 is the base run
+    (builds the canonical index), doc_id % 4 == 0 is the delta shard
+    ingested against it. Output (doc_id, sha256, canonical_id, is_new)
+    for every delta doc: hits point at the base canonical, misses elect
+    a first-writer canonical among the delta's own rows.
+
+    The testdata has NO exact-duplicate texts, so the hit path is
+    planted in-pipeline (same pattern as embedding_near_dups): every
+    base doc with doc_id % 40 == 1 gains a delta twin at doc_id + 10^9
+    carrying the identical text — those twins MUST resolve to the base
+    canonical with is_new = 0, which the oracle checks row by row."""
+    from hmse_ray.pipelines import incremental
+
+    def split(keep_delta: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy()
+            m = (ids % 4 == 0) if keep_delta else (ids % 4 != 0)
+            return t.take(np.flatnonzero(m))
+        return fn
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        sel = np.flatnonzero(ids % 40 == 1)
+        out = t.take(sel)
+        return out.set_column(
+            out.schema.get_field_index("doc_id"), "doc_id",
+            pa.array(ids[sel] + 1_000_000_000, pa.int64()))
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    base = docs.map_batches(split(False), batch_format="pyarrow")
+    delta = docs.map_batches(split(True), batch_format="pyarrow").union(
+        docs.map_batches(plant, batch_format="pyarrow"))
+    return incremental.ingest_delta(incremental.build_index(base), delta)
 
 
 def _fixed_chunks(sf_dir):
@@ -3403,6 +3447,27 @@ def _semantic_dedup_sql() -> str:
 
 
 ORACLES = {
+    "incremental_exact_dedup": """
+        WITH delta AS (
+          SELECT doc_id, sha256(text) AS sha FROM documents
+          WHERE doc_id % 4 = 0
+          UNION ALL
+          SELECT doc_id + 1000000000 AS doc_id, sha256(text) AS sha
+          FROM documents WHERE doc_id % 40 = 1
+        ), bidx AS (
+          SELECT sha256(text) AS sha, MIN(doc_id) AS canonical
+          FROM documents WHERE doc_id % 4 <> 0 GROUP BY 1
+        ), dmin AS (
+          SELECT sha, MIN(doc_id) AS dcanon FROM delta GROUP BY 1
+        )
+        SELECT d.doc_id, d.sha AS sha256,
+               COALESCE(b.canonical, dm.dcanon) AS canonical_id,
+               CAST(CASE WHEN b.canonical IS NULL THEN 1 ELSE 0 END
+                    AS BIGINT) AS is_new
+        FROM delta d
+        LEFT JOIN bidx b ON b.sha = d.sha
+        JOIN dmin dm ON dm.sha = d.sha
+    """,
     "kmeans_clusters": _kmeans_clusters_sql(),
     "semantic_dedup": _semantic_dedup_sql(),
     "exact_dedup_docs": """
@@ -3655,6 +3720,7 @@ ORACLES = {
 
 QUERIES = {
     "exact_dedup_docs": exact_dedup_docs,
+    "incremental_exact_dedup": incremental_exact_dedup,
     "fixed_chunk_histogram": fixed_chunk_histogram,
     "cdc_chunk_stats": cdc_chunk_stats,
     "cdc_chunk_index": cdc_chunk_index,
