@@ -33,7 +33,12 @@ Operator coverage map (SURVEY.md section 2 -> query):
                              candidates with guaranteed recall — BOTH
                              SQL-checked, incl. the recursive-CTE CC)
   sort/limit (sec 2.6) ..... top_longest_docs
-  sampling O1 .............. sample_docs
+  sampling O1 .............. sample_docs, stratified_sample_docs
+                             (seeded per-source draw for data mixing,
+                             SQL-checked via the murmur3 CTE chain)
+  decontamination .......... decontaminate_docs (benchmark word-n-gram
+                             overlap, GPT-3 appendix-C rule,
+                             SQL-checked)
   grouped agg (sec 2.5) .... dup_ratio_by_source, events_window_agg
   join (sec 2.4) ........... orders_by_segment (broadcast hash join)
   streaming windows ........ events_window_agg (tumbling), events_sessionize
@@ -1252,6 +1257,122 @@ def embedding_near_dups(sf_dir, threshold=0.98, plant: bool = True):
     return hash_partitioned_groupby_arrow(
         pairs.map_batches(packkey, batch_format="pyarrow"), "pairkey", uniq_part
     )
+
+
+# --------------------------------------------------------- decontamination
+
+
+def _word_ngram_sets(texts: list[str], n: int) -> list[set[str]]:
+    """Per-doc DISTINCT word n-grams (whitespace tokens, space-joined) —
+    the GPT-3 appendix-C contamination unit, scaled to this corpus's
+    ~55-token docs. Token rule matches the SQL oracle's
+    regexp_split_to_array(trim(text), '\\s+') exactly."""
+    out = []
+    for tx in texts:
+        toks = tx.split()
+        out.append({" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)})
+    return out
+
+
+def decontaminate_docs(sf_dir, n: int = 4, bench_mod: int = 50,
+                       bench_rem: int = 7):
+    """Benchmark decontamination (SQL-checked): flag every corpus doc
+    sharing >= 1 word n-gram with the benchmark set — the standard
+    train-set decontamination rule (GPT-3 appendix C / PaLM / Llama,
+    13-gram scaled to n=4 for this corpus's ~55-token small-vocabulary
+    synthetic docs — n=8 flags only the single planted containment
+    pair; n=4 keeps a measurable natural background too). The benchmark
+    set is the deterministic doc_id % 50 == 7 slice (~2%).
+
+    Ray shape: benchmark grams are collected once and broadcast via
+    ray.put (benchmark suites are small by nature — MBs against a
+    100-TB corpus, the textbook broadcast-LUT side); the corpus
+    streams through ONE map_batches doing a vectorized hash-set
+    membership probe per doc. No shuffle at all. A benchmark too big
+    to broadcast would use the same co-partition-on-gram shuffle as
+    incremental ingest; not needed for the use case this models.
+
+    Output (doc_id, contaminated, n_hits) for every NON-benchmark doc,
+    n_hits = count of distinct matching grams."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        sel = np.flatnonzero(ids % bench_mod == bench_rem)
+        texts = t.take(sel)["text"].to_pylist()
+        grams = sorted(set().union(*_word_ngram_sets(texts, n))) if len(
+            texts) else []
+        return pa.table({"g": pa.array(grams, pa.string())})
+
+    bset = set()
+    for row in docs.map_batches(bench_grams,
+                                batch_format="pyarrow").take_all():
+        bset.add(row["g"])
+    bref = ray.put(frozenset(bset))
+
+    def probe(t: pa.Table) -> pa.Table:
+        bg = ray.get(bref)
+        ids = t["doc_id"].to_numpy()
+        sel = np.flatnonzero(ids % bench_mod != bench_rem)
+        sub = t.take(sel)
+        hits = np.array(
+            [len(gs & bg) for gs in _word_ngram_sets(
+                sub["text"].to_pylist(), n)],
+            dtype=np.int64,
+        )
+        return pa.table({
+            "doc_id": pa.array(ids[sel], pa.int64()),
+            "contaminated": pa.array((hits > 0).astype(np.int64), pa.int64()),
+            "n_hits": pa.array(hits, pa.int64()),
+        })
+
+    return docs.map_batches(probe, batch_format="pyarrow")
+
+
+_STRAT_SEED = 0xA11CE
+
+
+def stratified_sample_docs(sf_dir, per_source: int = 8):
+    """Stratified seeded sampling for data mixing (SQL-checked): the
+    ``per_source`` docs with the smallest (murmur3(doc_id), doc_id)
+    rank within each source — a deterministic uniform draw per stratum,
+    the selection primitive a training-data pipeline uses to hit a
+    target source mix. Output (doc_id, source, sel_rank).
+
+    Ray shape: the murmur rank is a per-batch vectorized column, each
+    batch keeps its local top-k per source (COMBINER — the shuffle
+    carries at most blocks x sources x k candidate rows, never the
+    corpus), and one tiny hash partition by source finalizes ranks.
+    """
+    from hmse_ray.functions import murmur3
+    from hmse_ray.stages.aggregates import hash_partitioned_groupby_arrow
+
+    docs = _docs(sf_dir, ["doc_id", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        hm = murmur3.murmur3_u32((ids % (1 << 32)).astype(np.uint32),
+                                 _STRAT_SEED).astype(np.int64)
+        df = pd.DataFrame({
+            "doc_id": ids,
+            "source": t["source"].to_pandas(),
+            "hm": hm,
+        }).sort_values(["source", "hm", "doc_id"])
+        df = df.groupby("source", sort=False).head(per_source)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["source", "hm", "doc_id"])
+        df["sel_rank"] = df.groupby("source", sort=False).cumcount() + 1
+        df = df[df["sel_rank"] <= per_source]
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+            "source": pa.array(df["source"], pa.string()),
+            "sel_rank": pa.array(df["sel_rank"].to_numpy(), pa.int64()),
+        })
+
+    return hash_partitioned_groupby_arrow(
+        docs.map_batches(partial, batch_format="pyarrow"), "source", finalize)
 
 
 # ------------------------------------------------- semantic dedup (SemDeDup)
@@ -3446,7 +3567,51 @@ def _semantic_dedup_sql() -> str:
     """
 
 
+def _stratified_sample_sql(per_source: int = 8) -> str:
+    """DuckDB mirror of stratified_sample_docs: same murmur3 CTE chain
+    over doc_id, row_number per source, top per_source."""
+    ctes, last = _mm_chain_sql(
+        "st0", ["doc_id", "source"], {"hm": ("st0.key", _STRAT_SEED)}, "ss")
+    return f"""
+        WITH st0 AS (
+          SELECT doc_id, source, doc_id % {_MM_MASK} AS key FROM documents
+        ), {ctes}, rk AS (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY hm, doc_id) AS sel_rank
+          FROM {last}
+        )
+        SELECT doc_id, source, CAST(sel_rank AS BIGINT) AS sel_rank FROM rk
+        WHERE sel_rank <= {per_source}
+    """
+
+
 ORACLES = {
+    "stratified_sample_docs": _stratified_sample_sql(),
+    "decontaminate_docs": r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+          FROM documents
+        ), gi AS (
+          SELECT doc_id, a, unnest(generate_series(1, len(a) - 3)) AS i
+          FROM toks WHERE len(a) >= 4
+        ), grams AS (
+          SELECT DISTINCT doc_id, array_to_string(a[i:i+3], ' ') AS g
+          FROM gi
+        ), bg AS (
+          SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 7
+        ), hits AS (
+          SELECT c.doc_id, count(*) AS n_hits
+          FROM grams c JOIN bg USING (g)
+          WHERE c.doc_id % 50 <> 7 GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(CASE WHEN h.n_hits IS NULL THEN 0 ELSE 1 END
+                    AS BIGINT) AS contaminated,
+               CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 7) d
+        LEFT JOIN hits h USING (doc_id)
+    """,
     "incremental_exact_dedup": """
         WITH delta AS (
           SELECT doc_id, sha256(text) AS sha FROM documents
@@ -3733,9 +3898,11 @@ QUERIES = {
     "lang_id_docs": lang_id_docs,
     "quality_docs": quality_docs,
     "doc_fingerprints": doc_fingerprints,
+    "decontaminate_docs": decontaminate_docs,
     "dup_ratio_by_source": dup_ratio_by_source,
     "top_longest_docs": top_longest_docs,
     "sample_docs": sample_docs,
+    "stratified_sample_docs": stratified_sample_docs,
     "events_window_agg": events_window_agg,
     "events_sessionize": events_sessionize,
     "orders_by_segment": orders_by_segment,
