@@ -34,6 +34,7 @@ NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # representative per-operator queries timed over the sf dir
 BENCH_QUERIES = [
     "exact_dedup_docs",
+    "hll_distinct_docs",
     "cdc_chunk_index",
     "fixed_chunk_histogram",
     "token_counts",

@@ -22,6 +22,13 @@ shared mutable index:
 At 100 TB the only state that moves is the index (≈ 72 B/unique record)
 and the delta's (sha, id) pairs; payload bytes never enter the shuffle,
 and both sides use the same hash partitioning.
+
+``ingest_delta_semijoin`` goes one step further for the common shape
+where the index (all history) dwarfs the delta (one shard): a Bloom
+filter of the DELTA's shas (functions/bloom.py) pre-filters the index
+stream before the shuffle, so the shuffle carries ~|delta| x (1 + fpp)
+index rows instead of |index|. Output is bit-identical (no false
+negatives).
 """
 
 from __future__ import annotations
@@ -100,43 +107,81 @@ def ingest_delta(index_ds, delta_ds, id_col: str = "doc_id",
                            canonical_id subset IS the index delta).
     """
     delta = sha_rows(delta_ds, id_col, text_col)
+    return _assign(index_ds, delta, num_partitions)
 
-    def merge(left: pa.Table, right: pa.Table) -> pa.Table:
-        # left: base index rows (sha256, canonical_id); right: delta
-        # (sha256, doc_id) — same hash partition, vectorized lookup
-        if right.num_rows == 0:
-            return pa.table({
-                "doc_id": pa.array([], pa.int64()),
-                "sha256": pa.array([], pa.string()),
-                "canonical_id": pa.array([], pa.int64()),
-                "is_new": pa.array([], pa.int64()),
-            })
-        d = pd.DataFrame({
-            "sha256": right["sha256"].to_pandas(),
-            "doc_id": right["doc_id"].to_numpy(zero_copy_only=False),
-        })
-        base = pd.Series(
-            left["canonical_id"].to_numpy(zero_copy_only=False),
-            index=left["sha256"].to_pandas(),
-        )
-        hit = d["sha256"].map(base)
-        dmin = d.groupby("sha256")["doc_id"].transform("min")
-        canonical = hit.fillna(dmin).astype(np.int64)
-        is_new = hit.isna().astype(np.int64)
+
+def _merge(left: pa.Table, right: pa.Table) -> pa.Table:
+    # left: base index rows (sha256, canonical_id); right: delta
+    # (sha256, doc_id) — same hash partition, vectorized lookup
+    if right.num_rows == 0:
         return pa.table({
-            "doc_id": pa.array(d["doc_id"].to_numpy(), pa.int64()),
-            "sha256": pa.array(d["sha256"], pa.string()),
-            "canonical_id": pa.array(canonical.to_numpy(), pa.int64()),
-            "is_new": pa.array(is_new.to_numpy(), pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "sha256": pa.array([], pa.string()),
+            "canonical_id": pa.array([], pa.int64()),
+            "is_new": pa.array([], pa.int64()),
         })
+    d = pd.DataFrame({
+        "sha256": right["sha256"].to_pandas(),
+        "doc_id": right["doc_id"].to_numpy(zero_copy_only=False),
+    })
+    base = pd.Series(
+        left["canonical_id"].to_numpy(zero_copy_only=False),
+        index=left["sha256"].to_pandas(),
+    )
+    hit = d["sha256"].map(base)
+    dmin = d.groupby("sha256")["doc_id"].transform("min")
+    canonical = hit.fillna(dmin).astype(np.int64)
+    is_new = hit.isna().astype(np.int64)
+    return pa.table({
+        "doc_id": pa.array(d["doc_id"].to_numpy(), pa.int64()),
+        "sha256": pa.array(d["sha256"], pa.string()),
+        "canonical_id": pa.array(canonical.to_numpy(), pa.int64()),
+        "is_new": pa.array(is_new.to_numpy(), pa.int64()),
+    })
 
+
+def _assign(index_ds, delta_sha_ds, num_partitions):
     # the index side carries (sha256, canonical_id); the delta side
     # (sha256, doc_id) — disjoint apart from the key, as copartition_two
     # requires
     return copartition_two(
-        index_ds, delta, "sha256", _SCHEMA, merge,
+        index_ds, delta_sha_ds, "sha256", _SCHEMA, _merge,
         num_partitions=num_partitions,
     )
+
+
+def ingest_delta_semijoin(index_ds, delta_ds, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          num_partitions: int | None = None,
+                          m_bits: int = 1 << 20, k: int = 7):
+    """``ingest_delta`` with a bloom semi-join filter on the INDEX side.
+
+    The 100-TB shape: the index is all history, the delta is one shard.
+    A Bloom filter of the delta's shas (functions/bloom.py) is built
+    first (the delta is the small side), broadcast once via ``ray.put``,
+    and the index stream is filtered to possible members BEFORE the
+    co-partition shuffle — so the shuffle carries ~|delta| x (1 + fpp)
+    index rows instead of |index|. Bloom false positives add unmatched
+    index rows to a partition (harmless); false negatives cannot occur,
+    so the output is bit-identical to ``ingest_delta`` (pinned in
+    tests/test_ingest.py::TestBloomSemijoin).
+    """
+    import ray
+
+    from hmse_ray.functions.bloom import Bloom, build_from_dataset
+
+    delta = sha_rows(delta_ds, id_col, text_col)
+    bloom = build_from_dataset(delta, "sha256", m_bits=m_bits, k=k)
+    bref = ray.put((bloom.bits, bloom.m_bits, bloom.k))
+
+    def probe(t: pa.Table) -> pa.Table:
+        bits, mb, kk = ray.get(bref)
+        b = Bloom(mb, kk, bits=bits)
+        keep = b.contains_many(t["sha256"].to_pandas().to_numpy())
+        return t.take(np.flatnonzero(keep))
+
+    filtered = index_ds.map_batches(probe, batch_format="pyarrow")
+    return _assign(filtered, delta, num_partitions)
 
 
 def index_delta(assigned_ds):

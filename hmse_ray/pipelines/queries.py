@@ -152,6 +152,102 @@ def incremental_exact_dedup(sf_dir):
     return incremental.ingest_delta(incremental.build_index(base), delta)
 
 
+def incremental_semijoin_dedup(sf_dir):
+    """incremental_exact_dedup through the BLOOM-SEMIJOIN index filter
+    (pipelines/incremental.ingest_delta_semijoin): a Bloom filter of the
+    delta's shas is broadcast once via ray.put and the base index stream
+    is pre-filtered to possible members BEFORE the co-partition shuffle.
+    This is the 100-TB ingest shape — the index (all history) dwarfs the
+    delta (one shard), so filtering the big side by a bloom of the small
+    side shrinks the shuffle from |index| to ~|delta| x (1 + fpp) rows
+    (the classic bloom semi-join / runtime filter). No false negatives,
+    so the result is IDENTICAL to the unfiltered path and shares its SQL
+    oracle verbatim."""
+    from hmse_ray.pipelines import incremental
+
+    def split(keep_delta: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy()
+            m = (ids % 4 == 0) if keep_delta else (ids % 4 != 0)
+            return t.take(np.flatnonzero(m))
+        return fn
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        sel = np.flatnonzero(ids % 40 == 1)
+        out = t.take(sel)
+        return out.set_column(
+            out.schema.get_field_index("doc_id"), "doc_id",
+            pa.array(ids[sel] + 1_000_000_000, pa.int64()))
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    base = docs.map_batches(split(False), batch_format="pyarrow")
+    delta = docs.map_batches(split(True), batch_format="pyarrow").union(
+        docs.map_batches(plant, batch_format="pyarrow"))
+    return incremental.ingest_delta_semijoin(
+        incremental.build_index(base), delta)
+
+
+HLL_P = 12  # 2^12 = 4096 registers per group
+
+
+def hll_distinct_docs(sf_dir, p: int = HLL_P):
+    """HyperLogLog distinct-text count per source (functions/hll.py) —
+    the shuffle-bounded alternative to exact_dedup_docs' count: every
+    batch reduces to <= sources x 2^p (register, max rho) partial rows,
+    partials merge by max inside one narrow hash-partitioned groupby,
+    and the estimate finalizes per source. At 10^12 rows the shuffle
+    carries KBs per source instead of one row per document.
+
+    SQL-checked bit-for-bit: sha256 top-32-bit hash, integer registers,
+    exact float64 power-of-two sums, and one shared IEEE division/log
+    sequence (see functions/hll.py docstring), rounded to 3 decimals."""
+    from hmse_ray.functions.hll import estimate, registers32
+    from hmse_ray.stages.aggregates import hash_partitioned_groupby_arrow
+
+    m = 1 << p
+
+    def partial(t: pa.Table) -> pa.Table:
+        hs = [hashlib.sha256(x.encode()).hexdigest()
+              for x in t["text"].to_pylist()]
+        j, rho = registers32(hs, p)
+        df = pd.DataFrame({
+            "source": t["source"].to_pandas(),
+            "register": j,
+            "rho": rho,
+        })
+        g = df.groupby(["source", "register"], as_index=False)["rho"].max()
+        return pa.table({
+            "source": pa.array(g["source"], pa.string()),
+            "register": pa.array(g["register"].to_numpy(), pa.int64()),
+            "rho": pa.array(g["rho"].to_numpy(), pa.int64()),
+        })
+
+    def finalize(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "source": t["source"].to_pandas(),
+            "register": t["register"].to_numpy(),
+            "rho": t["rho"].to_numpy(),
+        })
+        srcs, ests, zeros_out = [], [], []
+        for src, g in df.groupby("source"):
+            mx = g.groupby("register")["rho"].max().to_numpy()
+            est, zeros = estimate(mx, p)
+            srcs.append(src)
+            ests.append(round(est, 3))
+            zeros_out.append(zeros)
+        return pa.table({
+            "source": pa.array(srcs, pa.string()),
+            "m": pa.array([m] * len(srcs), pa.int64()),
+            "zero_registers": pa.array(zeros_out, pa.int64()),
+            "est_distinct_r": pa.array(ests, pa.float64()),
+        })
+
+    partials = _docs(sf_dir, ["source", "text"]).map_batches(
+        partial, batch_format="pyarrow")
+    return hash_partitioned_groupby_arrow(partials, "source", finalize)
+
+
 def _fixed_chunks(sf_dir):
     """Explode documents into fixed 1024-CHARACTER chunks (SQL-expressible
     chunking variant used for oracle checks of the explode+shuffle path;
@@ -3586,7 +3682,54 @@ def _stratified_sample_sql(per_source: int = 8) -> str:
     """
 
 
+def _hll_sql(p: int = HLL_P) -> str:
+    """DuckDB mirror of hll_distinct_docs (functions/hll.py): top-32-bit
+    sha256 hash (hex parsed positionally — exact integer arithmetic),
+    register/rho via length(bin(w)) (= bitlength, so rho is exact),
+    SUM(2^-max_rho) (exact in float64: every term a multiple of
+    2^-(32-p+1), total < m — order-independent), then the identical
+    IEEE alpha/raw/linear-counting sequence rounded to 3 decimals."""
+    m = 1 << p
+    wbits = 32 - p
+    wmask = (1 << wbits) - 1
+    hex32 = " + ".join(
+        f"(strpos('0123456789abcdef', substr(hx, {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"""
+        WITH hx0 AS (
+          SELECT source, sha256(text) AS hx FROM documents
+        ), h AS (
+          SELECT source, {hex32} AS h32 FROM hx0
+        ), r AS (
+          SELECT source, h32 // {wmask + 1} AS register,
+                 CASE WHEN h32 % {wmask + 1} = 0 THEN {wbits + 1}
+                      ELSE {wbits + 1} - length(bin(h32 % {wmask + 1}))
+                 END AS rho
+          FROM h
+        ), mx AS (
+          SELECT source, register, MAX(rho) AS max_rho
+          FROM r GROUP BY 1, 2
+        ), s AS (
+          SELECT source,
+                 SUM(power(2.0, -max_rho)) + ({m} - COUNT(*)) AS sum_inv,
+                 {m} - COUNT(*) AS zero_registers
+          FROM mx GROUP BY source
+        )
+        SELECT source, CAST({m} AS BIGINT) AS m,
+               CAST(zero_registers AS BIGINT) AS zero_registers,
+               ROUND(CASE WHEN raw <= 2.5 * {m} AND zero_registers > 0
+                          THEN {m} * ln({m}.0 / zero_registers)
+                          ELSE raw END, 3) AS est_distinct_r
+        FROM (SELECT *, (0.7213 / (1.0 + 1.079 / {m})) * {m} * {m} / sum_inv
+                     AS raw
+              FROM s)
+    """
+
+
 ORACLES = {
+    "hll_distinct_docs": _hll_sql(),
     "stratified_sample_docs": _stratified_sample_sql(),
     "decontaminate_docs": r"""
         WITH toks AS (
@@ -3883,9 +4026,15 @@ ORACLES = {
     """,
 }
 
+# the bloom semi-join path is bit-identical to the unfiltered ingest
+# (no false negatives), so it shares the oracle verbatim
+ORACLES["incremental_semijoin_dedup"] = ORACLES["incremental_exact_dedup"]
+
 QUERIES = {
     "exact_dedup_docs": exact_dedup_docs,
     "incremental_exact_dedup": incremental_exact_dedup,
+    "incremental_semijoin_dedup": incremental_semijoin_dedup,
+    "hll_distinct_docs": hll_distinct_docs,
     "fixed_chunk_histogram": fixed_chunk_histogram,
     "cdc_chunk_stats": cdc_chunk_stats,
     "cdc_chunk_index": cdc_chunk_index,

@@ -39,6 +39,28 @@ def main(argv=None) -> int:
     p.add_argument("--text-col", default="text")
     p.add_argument("--num-cpus", type=int, default=32)
 
+    p = sub.add_parser(
+        "ingest", help="incremental exact-dedup ingest: delta parquet vs a "
+        "persisted canonical index (pipelines/incremental.py)")
+    p.add_argument("--index", required=True,
+                   help="persisted index dir (_SUCCESS-gated); created "
+                        "when --build-from is given")
+    p.add_argument("--build-from",
+                   help="build the base index from this (id, text) parquet "
+                        "and persist it to --index, then exit")
+    p.add_argument("--delta", help="(id, text) parquet shard to ingest")
+    p.add_argument("--output", help="assignments parquet dir")
+    p.add_argument("--updated-index",
+                   help="persist index + newly-elected canonicals here "
+                        "(the next ingest's --index)")
+    p.add_argument("--semijoin", action="store_true",
+                   help="bloom semi-join: pre-filter the index stream by a "
+                        "bloom of the delta's shas before the shuffle "
+                        "(the big-index/small-delta shape)")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--num-cpus", type=int, default=32)
+
     p = sub.add_parser("resumable", help="checkpointed two-phase run")
     p.add_argument("--input-files", nargs="+", required=True)
     p.add_argument("--output", required=True)
@@ -115,6 +137,42 @@ def main(argv=None) -> int:
             )
             pairs.write_parquet(args.output)
             print(json.dumps({"rows": pairs.count(), "output": args.output}))
+        elif args.cmd == "ingest":
+            import ray.data as rd
+
+            from hmse_ray.pipelines import incremental
+
+            if args.build_from:
+                idx = incremental.build_index(
+                    rd.read_parquet(args.build_from,
+                                    columns=[args.id_col, args.text_col]),
+                    args.id_col, args.text_col)
+                incremental.persist_index(idx, args.index)
+                print(json.dumps({"index": args.index,
+                                  "entries": idx.count()}))
+            else:
+                if not (args.delta and args.output):
+                    ap.error("ingest needs --delta and --output "
+                             "(or --build-from)")
+                idx = incremental.load_index(args.index)
+                delta = rd.read_parquet(
+                    args.delta, columns=[args.id_col, args.text_col])
+                fn = (incremental.ingest_delta_semijoin if args.semijoin
+                      else incremental.ingest_delta)
+                assigned = fn(idx, delta, args.id_col,
+                              args.text_col).materialize()
+                assigned.write_parquet(args.output)
+                stats = {"rows": assigned.count(),
+                         "new_canonicals":
+                             incremental.index_delta(assigned).count(),
+                         "output": args.output}
+                if args.updated_index:
+                    incremental.persist_index(
+                        incremental.load_index(args.index).union(
+                            incremental.index_delta(assigned)),
+                        args.updated_index)
+                    stats["updated_index"] = args.updated_index
+                print(json.dumps(stats))
         elif args.cmd == "resumable":
             from hmse_ray.state import checkpoint
 

@@ -102,6 +102,17 @@ def main():
         ("Delta encode (near-dup 64KB)", timeit(lambda: delta.delta_encode(base, nd_target, cfg), d_mb), float("nan"))
     )
 
+    # Bloom semi-join filter + HLL registers (r4): vectorized sha-hex
+    # kernels — throughput in MB of sha-hex keys per second
+    from hmse_ray.functions import bloom, hll
+
+    shas = [hashlib.sha256(str(i).encode()).hexdigest() for i in range(200_000)]
+    sha_mb = 64 * len(shas) / 1e6
+    bf = bloom.Bloom(1 << 22, k=7).add_many(shas)
+    rows.append(("Bloom add 200k keys", timeit(lambda: bloom.Bloom(1 << 22, k=7).add_many(shas), sha_mb), float("nan")))
+    rows.append(("Bloom probe 200k keys", timeit(lambda: bf.contains_many(shas), sha_mb), float("nan")))
+    rows.append(("HLL registers 200k keys", timeit(lambda: hll.registers32(shas, 12), sha_mb), float("nan")))
+
     # Real JFIF codec (r4): encode / decode 96x72 RGB
     jpx = rng.integers(0, 256, (72, 96, 3), dtype=np.uint8)
     j_mb = jpx.nbytes / 1e6

@@ -109,3 +109,55 @@ class TestIngest:
         nd = incremental.index_delta(out).to_pandas()
         assert set(nd["canonical_id"]) == {11}
         assert list(nd.columns) == ["sha256", "canonical_id"]
+
+
+class TestBloomSemijoin:
+    """ingest_delta_semijoin must be bit-identical to ingest_delta (the
+    bloom filter has no false negatives), while actually filtering the
+    index side before the shuffle."""
+
+    def test_matches_unfiltered_path(self, ray_session):
+        import ray.data as rd
+
+        base = _docs(rd, [(i, f"b{i % 37}") for i in range(200)])
+        delta = _docs(rd, [(1000 + i, f"b{i}" if i % 3 == 0 else f"n{i}")
+                           for i in range(60)])
+        idx = incremental.build_index(base).materialize()
+        a = (incremental.ingest_delta(idx, delta)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        b = (incremental.ingest_delta_semijoin(idx, delta)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert (a.values == b.values).all()
+
+    def test_tiny_bloom_high_fpp_still_exact(self, ray_session):
+        """Even a saturated bloom (64 bits for 60 keys -> fpp ~ 1) only
+        lets EXTRA index rows through — never loses a hit."""
+        import ray.data as rd
+
+        base = _docs(rd, [(i, f"t{i}") for i in range(100)])
+        delta = _docs(rd, [(500 + i, f"t{i * 2}") for i in range(60)])
+        idx = incremental.build_index(base).materialize()
+        a = (incremental.ingest_delta(idx, delta)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        b = (incremental.ingest_delta_semijoin(idx, delta, m_bits=64, k=2)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert (a.values == b.values).all()
+
+    def test_filter_shrinks_index_side(self, ray_session):
+        """The point of the semi-join: with a big index and a small
+        delta, the filtered index stream is ~|delta|, not |index|."""
+        import ray
+
+        import ray.data as rd
+
+        from hmse_ray.functions.bloom import Bloom, build_from_dataset
+
+        base = _docs(rd, [(i, f"u{i}") for i in range(5000)])
+        delta = _docs(rd, [(90000 + i, f"u{i * 100}") for i in range(20)])
+        idx = incremental.build_index(base).materialize()
+        d_sha = incremental.sha_rows(delta)
+        bloom = build_from_dataset(d_sha, "sha256")
+        shas = idx.to_pandas()["sha256"].to_numpy()
+        kept = int(bloom.contains_many(shas).sum())
+        # 20 true members + fpp * 5000; at m=2^20/k=7 fpp is ~0 here
+        assert 20 <= kept <= 40, kept

@@ -276,6 +276,50 @@ class TestCLI:
         ]
         assert t.num_rows == 28
 
+    def test_ingest_command_round_trip(self, ray_session, tmp_path, capsys):
+        """build-from -> ingest (semijoin) -> updated index -> second
+        ingest resolves against first ingest's canonicals."""
+        import json
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from hmse_ray.run import main
+
+        def write(path, rows):
+            ids, texts = zip(*rows)
+            pq.write_table(pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }), path)
+
+        base_p = str(tmp_path / "base.parquet")
+        d1_p = str(tmp_path / "d1.parquet")
+        d2_p = str(tmp_path / "d2.parquet")
+        write(base_p, [(1, "alpha"), (2, "beta")])
+        write(d1_p, [(20, "gamma"), (21, "gamma"), (22, "alpha")])
+        write(d2_p, [(5, "gamma"), (6, "nu")])
+
+        idx0 = str(tmp_path / "idx0")
+        assert main(["ingest", "--index", idx0,
+                     "--build-from", base_p]) == 0
+        assert json.loads(capsys.readouterr().out.strip())["entries"] == 2
+
+        out1, idx1 = str(tmp_path / "a1"), str(tmp_path / "idx1")
+        assert main(["ingest", "--index", idx0, "--delta", d1_p,
+                     "--output", out1, "--updated-index", idx1,
+                     "--semijoin"]) == 0
+        r1 = json.loads(capsys.readouterr().out.strip())
+        assert r1["rows"] == 3 and r1["new_canonicals"] == 1
+
+        out2 = str(tmp_path / "a2")
+        assert main(["ingest", "--index", idx1, "--delta", d2_p,
+                     "--output", out2]) == 0
+        a2 = pq.read_table(out2).to_pandas().set_index("doc_id")
+        # gamma's canonical was elected in ingest 1 (doc 20)
+        assert a2.loc[5, "canonical_id"] == 20 and a2.loc[5, "is_new"] == 0
+        assert a2.loc[6, "is_new"] == 1
+
 
 class TestCheckpointMarkers:
     def test_phase2_ignores_uncommitted_dirs(self, ray_session, tmp_path):
