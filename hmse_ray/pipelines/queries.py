@@ -188,6 +188,91 @@ def incremental_semijoin_dedup(sf_dir):
         incremental.build_index(base), delta)
 
 
+def tfidf_top_terms(sf_dir, k: int = 5):
+    """Per-source top-k terms by tf-idf (SQL-checked) — the canonical
+    two-level distributed aggregation + per-group top-k:
+
+    1. per-batch PARTIALS: (source, term, tf_p, df_p). A document's
+       text is one row, so a doc lies wholly inside one batch and the
+       per-(source,term) distinct-doc partials SUM exactly across
+       batches — no distinct-count shuffle of token instances.
+    2. one narrow shuffle keyed on TERM merges partials: tf summed per
+       (source, term), df summed per term, score computed in place.
+    3. one tiny shuffle keyed on SOURCE ranks and keeps the top k.
+
+    Shuffle rows are bounded by vocab x sources (then vocab x sources
+    again), never token instances — at 10^12 docs the token explode
+    stays inside map_batches. Tokenization matches token_counts
+    (whitespace split of trimmed text). score_r = round(tf * ln(N/df),
+    6); rank orders by (score_r DESC, term) so ordering is identical
+    in both engines."""
+    from hmse_ray.stages.aggregates import hash_partitioned_groupby_arrow
+
+    docs = _docs(sf_dir, ["source", "doc_id", "text"])
+    n_docs = docs.count()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.strip().str.split(textstats._WS)
+        d = pd.DataFrame({
+            "source": df["source"], "doc_id": df["doc_id"], "term": toks,
+        }).explode("term")
+        d = d[d["term"] != ""]
+        g = d.groupby(["source", "term"], as_index=False).agg(
+            tf_p=("term", "size"), df_p=("doc_id", "nunique"))
+        g["tf_p"] = g["tf_p"].astype("int64")
+        g["df_p"] = g["df_p"].astype("int64")
+        return g
+
+    def merge_terms(t: pa.Table) -> pa.Table:
+        df_ = t.to_pandas()
+        dfx = df_.groupby("term")["df_p"].sum()
+        g = df_.groupby(["source", "term"], as_index=False)["tf_p"].sum()
+        g = g.rename(columns={"tf_p": "tf"})
+        g["df"] = g["term"].map(dfx).astype("int64")
+        g["score_r"] = np.round(
+            g["tf"].to_numpy() * np.log(n_docs / g["df"].to_numpy()), 6)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def topk(t: pa.Table) -> pa.Table:
+        df_ = t.to_pandas()
+        df_ = df_.sort_values(["source", "score_r", "term"],
+                              ascending=[True, False, True])
+        df_["sel_rank"] = df_.groupby("source").cumcount() + 1
+        out = df_[df_["sel_rank"] <= k].reset_index(drop=True)
+        out["sel_rank"] = out["sel_rank"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = docs.map_batches(partial, batch_format="pandas")
+    scored = hash_partitioned_groupby_arrow(partials, "term", merge_terms)
+    return hash_partitioned_groupby_arrow(scored, "source", topk)
+
+
+def _tfidf_sql(k: int = 5) -> str:
+    return rf"""
+        WITH toks AS (
+          SELECT source, doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+          FROM documents
+        ), tk AS (SELECT * FROM toks WHERE term <> ''),
+        tf AS (SELECT source, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+        dfc AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tk GROUP BY 1),
+        sc AS (
+          SELECT s.source, s.term, s.tf, d.df,
+                 ROUND(s.tf * ln((SELECT COUNT(*) FROM documents) * 1.0
+                                 / d.df), 6) AS score_r
+          FROM tf s JOIN dfc d USING (term)
+        ), rk AS (
+          SELECT *, row_number() OVER (PARTITION BY source
+                    ORDER BY score_r DESC, term) AS sel_rank
+          FROM sc
+        )
+        SELECT source, term, CAST(tf AS BIGINT) AS tf,
+               CAST(df AS BIGINT) AS df, score_r,
+               CAST(sel_rank AS BIGINT) AS sel_rank
+        FROM rk WHERE sel_rank <= {k}
+    """
+
+
 HLL_P = 12  # 2^12 = 4096 registers per group
 
 
@@ -3730,6 +3815,7 @@ def _hll_sql(p: int = HLL_P) -> str:
 
 ORACLES = {
     "hll_distinct_docs": _hll_sql(),
+    "tfidf_top_terms": _tfidf_sql(),
     "stratified_sample_docs": _stratified_sample_sql(),
     "decontaminate_docs": r"""
         WITH toks AS (
@@ -4035,6 +4121,7 @@ QUERIES = {
     "incremental_exact_dedup": incremental_exact_dedup,
     "incremental_semijoin_dedup": incremental_semijoin_dedup,
     "hll_distinct_docs": hll_distinct_docs,
+    "tfidf_top_terms": tfidf_top_terms,
     "fixed_chunk_histogram": fixed_chunk_histogram,
     "cdc_chunk_stats": cdc_chunk_stats,
     "cdc_chunk_index": cdc_chunk_index,

@@ -98,3 +98,29 @@ class TestWinnowContainmentProperty:
         f_sub = set(winnow_fingerprints(sub).tolist())
         f_sup = set(winnow_fingerprints(sup).tolist())
         assert f_sub <= f_sup
+
+
+class TestBloomHLLProperties:
+    @given(st.lists(st.integers(0, 2**63 - 1), min_size=1, max_size=300),
+           st.integers(1, 8))
+    @settings(max_examples=30, deadline=None)
+    def test_bloom_never_false_negative(self, keys, k):
+        import hashlib
+
+        from hmse_ray.functions.bloom import Bloom
+
+        shas = [hashlib.sha256(str(x).encode()).hexdigest() for x in keys]
+        b = Bloom(1 << 12, k=k).add_many(shas)
+        assert b.contains_many(shas).all()
+
+    @given(st.integers(0, 2**32 - 1), st.integers(4, 16))
+    @settings(max_examples=200, deadline=None)
+    def test_hll_register_matches_scalar(self, h32, p):
+        from hmse_ray.functions.hll import registers32
+
+        hx = format(h32, "08x") + "0" * 56
+        j, rho = registers32([hx], p)
+        w = h32 & ((1 << (32 - p)) - 1)
+        assert j[0] == h32 >> (32 - p)
+        assert rho[0] == (32 - p) + 1 - w.bit_length()
+        assert 1 <= rho[0] <= (32 - p) + 1

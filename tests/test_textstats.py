@@ -92,3 +92,36 @@ class TestNgramJaccard:
         a = "the quick brown fox"
         assert textstats.ngram_jaccard(a, a) == 1.0
         assert 0.0 <= textstats.ngram_jaccard(a, "totally different words") < 0.3
+
+
+class TestTfidfTopTerms:
+    SF = "/root/testdata/sf0.001"
+
+    def test_matches_duckdb_oracle(self, ray_session):
+        import duckdb
+
+        from hmse_ray.pipelines.queries import ORACLES, tfidf_top_terms
+
+        cols = ["source", "term", "tf", "df", "score_r", "sel_rank"]
+        got = (tfidf_top_terms(self.SF).to_pandas()[cols]
+               .sort_values(["source", "sel_rank"]).reset_index(drop=True))
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{self.SF}/documents.parquet')")
+        want = (con.execute(ORACLES["tfidf_top_terms"]).df()[cols]
+                .sort_values(["source", "sel_rank"]).reset_index(drop=True))
+        assert got["term"].tolist() == want["term"].tolist()
+        assert (got["score_r"].to_numpy() == want["score_r"].to_numpy()).all()
+        assert (got["tf"].to_numpy() == want["tf"].to_numpy()).all()
+
+    def test_shape_and_ranking(self, ray_session):
+        from hmse_ray.pipelines.queries import tfidf_top_terms
+
+        df = tfidf_top_terms(self.SF, k=3).to_pandas()
+        g = df.groupby("source")
+        assert (g.size() <= 3).all()
+        for _, grp in g:
+            s = grp.sort_values("sel_rank")
+            # scores non-increasing with rank within a source
+            assert (s["score_r"].diff().dropna() <= 1e-12).all()
