@@ -273,6 +273,97 @@ def _tfidf_sql(k: int = 5) -> str:
     """
 
 
+def windowed_chunk_embed(sf_dir, win: int = 32, stride: int = 16):
+    """RAG-style windowed chunking + embedding attachment (SQL-checked):
+    documents explode into overlapping token windows INSIDE map_batches
+    (token lists never shuffle — only the narrow (doc, window) rows),
+    the embeddings table reduces per doc to an INTEGER-EXACT summary
+    (same floor(x*1024+0.5) quantization the SemDeDup oracle uses:
+    qsum = sum of quantized coords, qnorm = sum of their squares, both
+    int64 so the join output is bit-reproducible in SQL), and ONE
+    co-partition shuffle keyed on doc id attaches it to every window —
+    the retrieval-corpus prep shape: at 10^12 docs the embedding table
+    crosses the exchange once, windows are generated streaming, and no
+    float arithmetic rides the gate. Tokenization matches token_counts;
+    window starts are 0, stride, 2*stride, ... <= n_tok-1."""
+    from hmse_ray.stages.aggregates import copartition_two, gather_lookup
+    from hmse_ray.stages.kmeans import quantize
+
+    def windows(df: pd.DataFrame) -> pd.DataFrame:
+        nt = textstats.ws_token_counts(df["text"]).astype(np.int64)
+        ids = df["doc_id"].to_numpy()
+        reps = np.where(nt > 0, (np.maximum(nt, 1) - 1) // stride + 1, 0)
+        total = int(reps.sum())
+        offs = np.repeat(np.cumsum(reps) - reps, reps)
+        wi = np.arange(total, dtype=np.int64) - offs
+        tok_lo = wi * stride
+        ntok_rep = np.repeat(nt, reps)
+        return pd.DataFrame({
+            "doc_id": np.repeat(ids, reps),
+            "win_idx": wi,
+            "tok_lo": tok_lo,
+            "n_tok": np.minimum(win, ntok_rep - tok_lo).astype(np.int64),
+        })
+
+    def summarize(t: pa.Table) -> pa.Table:
+        q = quantize(t["embedding"])
+        return pa.table({
+            "doc_id": t["vec_id"],
+            "emb_qsum": pa.array(q.sum(axis=1), pa.int64()),
+            "emb_qnorm": pa.array((q * q).sum(axis=1), pa.int64()),
+        })
+
+    win_ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        windows, batch_format="pandas")
+    summary = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    ).map_batches(summarize, batch_format="pyarrow")
+
+    schema = pa.schema([
+        ("doc_id", pa.int64()), ("emb_qsum", pa.int64()),
+        ("emb_qnorm", pa.int64()), ("win_idx", pa.int64()),
+        ("tok_lo", pa.int64()), ("n_tok", pa.int64()),
+    ])
+
+    def merge(left: pa.Table, right: pa.Table) -> pa.Table:
+        l = left.select(["doc_id", "emb_qsum", "emb_qnorm"])
+        r = right.select(["doc_id", "win_idx", "tok_lo", "n_tok"])
+        return gather_lookup(r, "doc_id", l, "doc_id",
+                             {"emb_qsum": "emb_qsum",
+                              "emb_qnorm": "emb_qnorm"})
+
+    return copartition_two(summary, win_ds, "doc_id", schema, merge)
+
+
+def _windowed_chunk_embed_sql(win: int = 32, stride: int = 16) -> str:
+    qexpr = "CAST(floor(CAST(e AS DOUBLE) * 1024 + 0.5) AS BIGINT)"
+    return rf"""
+        WITH nt AS (
+          SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE length(regexp_split_to_array(trim(text), '\s+'))
+                 END AS ntok
+          FROM documents
+        ), w AS (
+          SELECT doc_id, ntok,
+                 unnest(generate_series(0, ntok - 1, {stride})) AS tok_lo
+          FROM nt WHERE ntok > 0
+        ), q AS (
+          SELECT vec_id AS doc_id,
+                 CAST(SUM({qexpr}) AS BIGINT) AS emb_qsum,
+                 CAST(SUM({qexpr} * {qexpr}) AS BIGINT) AS emb_qnorm
+          FROM (SELECT vec_id, unnest(embedding) AS e FROM embeddings)
+          GROUP BY 1
+        )
+        SELECT w.doc_id, CAST(w.tok_lo // {stride} AS BIGINT) AS win_idx,
+               CAST(w.tok_lo AS BIGINT) AS tok_lo,
+               CAST(LEAST({win}, w.ntok - w.tok_lo) AS BIGINT) AS n_tok,
+               q.emb_qsum, q.emb_qnorm
+        FROM w JOIN q USING (doc_id)
+    """
+
+
 HLL_P = 12  # 2^12 = 4096 registers per group
 
 
@@ -3816,6 +3907,7 @@ def _hll_sql(p: int = HLL_P) -> str:
 ORACLES = {
     "hll_distinct_docs": _hll_sql(),
     "tfidf_top_terms": _tfidf_sql(),
+    "windowed_chunk_embed": _windowed_chunk_embed_sql(),
     "stratified_sample_docs": _stratified_sample_sql(),
     "decontaminate_docs": r"""
         WITH toks AS (
@@ -4122,6 +4214,7 @@ QUERIES = {
     "incremental_semijoin_dedup": incremental_semijoin_dedup,
     "hll_distinct_docs": hll_distinct_docs,
     "tfidf_top_terms": tfidf_top_terms,
+    "windowed_chunk_embed": windowed_chunk_embed,
     "fixed_chunk_histogram": fixed_chunk_histogram,
     "cdc_chunk_stats": cdc_chunk_stats,
     "cdc_chunk_index": cdc_chunk_index,

@@ -501,3 +501,32 @@ class TestCorpusFileSource:
         )
         assert len(a) == len(b) > 0
         assert a.equals(b)
+
+
+class TestWindowedChunkEmbed:
+    def test_matches_duckdb_oracle(self, ray_session):
+        import duckdb
+
+        from hmse_ray.pipelines.queries import ORACLES, windowed_chunk_embed
+
+        cols = ["doc_id", "win_idx", "tok_lo", "n_tok",
+                "emb_qsum", "emb_qnorm"]
+        got = (windowed_chunk_embed(SF).to_pandas()[cols]
+               .sort_values(["doc_id", "win_idx"]).reset_index(drop=True))
+        con = duckdb.connect()
+        for t in ("documents", "embeddings"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{SF}/{t}.parquet')")
+        want = (con.execute(ORACLES["windowed_chunk_embed"]).df()[cols]
+                .sort_values(["doc_id", "win_idx"]).reset_index(drop=True)
+                .astype("int64"))
+        assert got.equals(want)
+
+    def test_window_geometry(self, ray_session):
+        from hmse_ray.pipelines.queries import windowed_chunk_embed
+
+        df = windowed_chunk_embed(SF, win=8, stride=4).to_pandas()
+        assert (df["tok_lo"] == df["win_idx"] * 4).all()
+        assert (df["n_tok"] >= 1).all() and (df["n_tok"] <= 8).all()
+        # every window of a doc carries the same embedding summary
+        assert (df.groupby("doc_id")["emb_qsum"].nunique() == 1).all()
