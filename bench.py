@@ -35,6 +35,8 @@ NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_QUERIES = [
     "exact_dedup_docs",
     "hll_distinct_docs",
+    "tfidf_top_terms",
+    "windowed_chunk_embed",
     "cdc_chunk_index",
     "fixed_chunk_histogram",
     "token_counts",
