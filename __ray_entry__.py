@@ -58,12 +58,15 @@ def oracle_sql() -> dict[str, str]:
     reproduced bit-for-bit via generated murmur3/splitmix CTE chains
     (queries.py:_mm_chain_sql and friends). Omitted — irreducibly, each
     documented in its query docstring — are only: zlib compression
-    (compression_accounting, store_kind_stats, roundtrip_invariant),
-    the approximate-by-design ANN variants (ann_topk_lsh/ivf, checked
-    instead by the ann_recall >= 0.9 gate vs the oracle-verified brute
-    force), and image_clusters (float SimHash dot products — numpy
-    pairwise summation is not reproducible in SQL). The driver records
-    rows-only checks for those.
+    (compression_accounting[_shared], store_kind_stats,
+    roundtrip_invariant), the approximate-by-design ANN variants
+    (ann_topk_lsh[_partitioned]/ivf/ann_recall, checked instead by the
+    ann_recall >= 0.9 gate vs the oracle-verified brute force and by
+    the partitioned==broadcast equality pin), jfif_roundtrip_psnr
+    (float DCT; gated by the PSNR >= 40 dB invariant instead), and
+    image_clusters (float SimHash dot products — numpy pairwise
+    summation is not reproducible in SQL). The driver records
+    rows-only checks for those 10.
     """
     from hmse_ray.pipelines.queries import ORACLES
 
