@@ -130,25 +130,7 @@ def incremental_exact_dedup(sf_dir):
     canonical with is_new = 0, which the oracle checks row by row."""
     from hmse_ray.pipelines import incremental
 
-    def split(keep_delta: bool):
-        def fn(t: pa.Table) -> pa.Table:
-            ids = t["doc_id"].to_numpy()
-            m = (ids % 4 == 0) if keep_delta else (ids % 4 != 0)
-            return t.take(np.flatnonzero(m))
-        return fn
-
-    def plant(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy()
-        sel = np.flatnonzero(ids % 40 == 1)
-        out = t.take(sel)
-        return out.set_column(
-            out.schema.get_field_index("doc_id"), "doc_id",
-            pa.array(ids[sel] + 1_000_000_000, pa.int64()))
-
-    docs = _docs(sf_dir, ["doc_id", "text"])
-    base = docs.map_batches(split(False), batch_format="pyarrow")
-    delta = docs.map_batches(split(True), batch_format="pyarrow").union(
-        docs.map_batches(plant, batch_format="pyarrow"))
+    base, delta = _incr_base_delta(sf_dir)
     return incremental.ingest_delta(incremental.build_index(base), delta)
 
 
@@ -162,8 +144,21 @@ def incremental_semijoin_dedup(sf_dir):
     side shrinks the shuffle from |index| to ~|delta| x (1 + fpp) rows
     (the classic bloom semi-join / runtime filter). No false negatives,
     so the result is IDENTICAL to the unfiltered path and shares its SQL
-    oracle verbatim."""
+    oracle verbatim (the base/delta construction is the SAME helper,
+    so the shared oracle cannot silently drift — ADVICE r4)."""
     from hmse_ray.pipelines import incremental
+
+    base, delta = _incr_base_delta(sf_dir)
+    return incremental.ingest_delta_semijoin(
+        incremental.build_index(base), delta)
+
+
+def _incr_base_delta(sf_dir):
+    """Shared base/delta construction for BOTH exact incremental-ingest
+    queries (they share one SQL oracle, so the split/plant rule must be
+    structurally identical — ADVICE r4): base = doc_id % 4 != 0; delta =
+    doc_id % 4 == 0 plus an exact-twin plant (doc_id % 40 == 1 ->
+    doc_id + 10^9, identical text) keeping the hit path non-vacuous."""
 
     def split(keep_delta: bool):
         def fn(t: pa.Table) -> pa.Table:
@@ -184,8 +179,100 @@ def incremental_semijoin_dedup(sf_dir):
     base = docs.map_batches(split(False), batch_format="pyarrow")
     delta = docs.map_batches(split(True), batch_format="pyarrow").union(
         docs.map_batches(plant, batch_format="pyarrow"))
-    return incremental.ingest_delta_semijoin(
-        incremental.build_index(base), delta)
+    return base, delta
+
+
+def _neardup_base_delta(sf_dir):
+    """Shared base/delta construction for the near-dup incremental
+    queries (one SQL oracle for both the plain and semijoin variants):
+    base = doc_id % 4 != 0 (original texts); delta = doc_id % 4 == 0
+    plus three deterministic plants, all SQL-expressible so the oracle
+    regenerates them verbatim:
+
+    - doc_id % 40 == 1  -> doc_id + 1e9, text || ' qq'   (near-dup of a
+      BASE doc: must resolve to the base id with is_new = 0)
+    - doc_id % 40 == 11 -> doc_id + 2e9, reverse(text)   (matches NO
+      base doc: must be elected NEW)
+    - doc_id % 40 == 11 -> doc_id + 3e9, reverse(text) || ' qq'
+      (near-dup of the 2e9 twin ONLY: must resolve to it with
+      is_new = 0 — the online "probe finds an entry inserted earlier in
+      this same shard" path)"""
+
+    def split(keep_delta: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy()
+            m = (ids % 4 == 0) if keep_delta else (ids % 4 != 0)
+            return t.take(np.flatnonzero(m))
+        return fn
+
+    def plant(offset: int, mod_val: int, transform):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy()
+            sel = np.flatnonzero(ids % 40 == mod_val)
+            out = t.take(sel)
+            return pa.table({
+                "doc_id": pa.array(ids[sel] + offset, pa.int64()),
+                "text": transform(out["text"]),
+            })
+        return fn
+
+    def suffix(col):
+        return pc.binary_join_element_wise(col.combine_chunks(), " qq", "")
+
+    def rev(col):
+        return pc.utf8_reverse(col.combine_chunks())
+
+    def rev_suffix(col):
+        return pc.binary_join_element_wise(
+            pc.utf8_reverse(col.combine_chunks()), " qq", "")
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    base = docs.map_batches(split(False), batch_format="pyarrow")
+    delta = (
+        docs.map_batches(split(True), batch_format="pyarrow")
+        .union(docs.map_batches(plant(1_000_000_000, 1, suffix),
+                                batch_format="pyarrow"))
+        .union(docs.map_batches(plant(2_000_000_000, 11, rev),
+                                batch_format="pyarrow"))
+        .union(docs.map_batches(plant(3_000_000_000, 11, rev_suffix),
+                                batch_format="pyarrow"))
+    )
+    return base, delta
+
+
+def incremental_neardup_dedup(sf_dir, semijoin: bool = False):
+    """Incremental NEAR-dup ingest (SQL-checked): the batch analog of
+    the reference's ONLINE L4 band-table probe (README.md:1553-1576) —
+    a persisted (bucket, id) band index + signature table, one
+    co-partition shuffle of the delta's band rows against it per shard,
+    signature-estimate verification, and online-order assignment
+    (pipelines/incremental.py "incremental NEAR-dup" section has the
+    full design and the fold-equivalence argument).
+
+    Base = doc_id % 4 != 0 (every base doc an index entry); delta =
+    doc_id % 4 == 0 plus three planted twins (_neardup_base_delta)
+    exercising all three online outcomes: hit-on-base, elected-new, and
+    hit-on-earlier-new-delta-insert. TEXT_CFG banding (16x8), unsalted
+    band explode, so the DuckDB oracle reproduces candidates,
+    signatures, verification AND the sequential online assignment
+    bit-for-bit (the assignment recursion is a list-threading recursive
+    CTE in ascending id order)."""
+    from hmse_ray.pipelines import incremental
+
+    base, delta = _neardup_base_delta(sf_dir)
+    ibands, isigs = incremental.build_neardup_index(base, TEXT_CFG)
+    return incremental.ingest_delta_neardup(
+        ibands, isigs, delta, TEXT_CFG, semijoin=semijoin)
+
+
+def incremental_neardup_semijoin(sf_dir):
+    """incremental_neardup_dedup through the int64-bucket BLOOM
+    pre-filter (functions/bloom.int_words): the index band-row stream —
+    all history x bands at 100 TB — is filtered by a Bloom of the
+    DELTA's bucket set before the co-partition shuffle, the band-table
+    twin of the sha semi-join. No false negatives -> bit-identical
+    output; shares the oracle verbatim."""
+    return incremental_neardup_dedup(sf_dir, semijoin=True)
 
 
 def tfidf_top_terms(sf_dir, k: int = 5):
@@ -3228,13 +3315,16 @@ def _random_pair_true_jaccard_hist_sql() -> str:
     """
 
 
-def _minhash_ctes(num_bands: int, rows_per_band: int) -> str:
+def _minhash_ctes(num_bands: int, rows_per_band: int,
+                  src: str = "documents") -> str:
     """Shared CTE text reproducing the engine's MinHash stack in SQL:
     byte-4-gram shingles -> murmur3 premix -> per-seed min (the 128-u32
     signature) -> splitmix64 band fold (recursive CTE threading the
     64-bit state with the multiply split into 32-bit halves to stay
     inside INT128) -> (band, hash) buckets. Callers append star-edge /
-    verification SELECTs. ascii() assumes single-byte text."""
+    verification SELECTs. ascii() assumes single-byte text. ``src``
+    names the (doc_id, text) relation to sign — default the documents
+    view; the incremental near-dup oracle passes a planted-corpus CTE."""
     M = _MM_MASK
     M64 = 18446744073709551616
     H63 = 9223372036854775808
@@ -3251,7 +3341,7 @@ def _minhash_ctes(num_bands: int, rows_per_band: int) -> str:
         pos AS (
           SELECT doc_id, text,
                  unnest(generate_series(1, greatest(length(text) - 3, 1))) AS q
-          FROM documents
+          FROM {src}
         ), sw AS MATERIALIZED (
           SELECT DISTINCT doc_id,
             CAST(ascii(substr(text, CAST(q AS INT), 1)) AS BIGINT)
@@ -3362,6 +3452,114 @@ def _minhash_doc_pairs_sql() -> str:
           GROUP BY 1, 2
         )
         SELECT id_a, id_b, jaccard_est FROM est WHERE jaccard_est >= {thr}
+    """
+
+
+def _incremental_neardup_sql() -> str:
+    """DuckDB mirror of incremental_neardup_dedup, bit-for-bit:
+
+    1. ``corpus2`` regenerates base + delta including the three planted
+       twin families (text || ' qq', reverse(text), reverse || ' qq' —
+       all ASCII, so reverse() and the engine's text[::-1] agree);
+    2. the shared _minhash_ctes chain signs the whole planted corpus
+       (TEXT_CFG 16x8 banding) exactly as the actor pool does;
+    3. candidates = delta x base band collisions (probe) and
+       within-delta collisions ordered by numeric id, both verified by
+       the 128-component signature-agreement estimate >= threshold;
+    4. the ONLINE assignment is a list-threading sequential recursive
+       CTE over verified-match participants in ascending id order — a
+       doc is NEW iff it has no verified base match and no verified
+       EARLIER-NEW delta match (exactly the entries the reference's
+       online band tables would contain at its turn), else canonical =
+       min(base matches ∪ earlier-new delta matches). Participants are
+       only docs with >= 1 verified match, so the recursion depth is
+       duplicate-bounded, not corpus-bounded."""
+    thr = CFG.jaccard_threshold
+    nh = int(CFG.num_hashes)
+    ctes = _minhash_ctes(TEXT_CFG.num_bands, TEXT_CFG.rows_per_band,
+                         src="corpus2")
+    return f"""
+        WITH RECURSIVE corpus2 AS MATERIALIZED (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000000, text || ' qq'
+          FROM documents WHERE doc_id % 40 = 1
+          UNION ALL
+          SELECT doc_id + 2000000000, reverse(text)
+          FROM documents WHERE doc_id % 40 = 11
+          UNION ALL
+          SELECT doc_id + 3000000000, reverse(text) || ' qq'
+          FROM documents WHERE doc_id % 40 = 11
+        ), {ctes},
+        dbh AS MATERIALIZED (
+          SELECT band, bv, CAST(sid AS BIGINT) AS d FROM bh
+          WHERE CAST(sid AS BIGINT) % 4 = 0 OR CAST(sid AS BIGINT) >= 1000000000
+        ), bbh AS MATERIALIZED (
+          SELECT band, bv, CAST(sid AS BIGINT) AS d FROM bh
+          WHERE CAST(sid AS BIGINT) % 4 <> 0 AND CAST(sid AS BIGINT) < 1000000000
+        ), probe0 AS MATERIALIZED (
+          SELECT DISTINCT dx.d AS ddoc, bx.d AS bdoc
+          FROM dbh dx JOIN bbh bx ON bx.band = dx.band AND bx.bv = dx.bv
+        ), dd0 AS MATERIALIZED (
+          SELECT DISTINCT x.d AS u, y.d AS v
+          FROM dbh x JOIN dbh y
+            ON y.band = x.band AND y.bv = x.bv AND x.d < y.d
+        ), pest AS MATERIALIZED (
+          SELECT p.ddoc, p.bdoc,
+                 sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / {nh}.0 AS e
+          FROM probe0 p
+          JOIN sigs sa ON sa.doc_id = p.ddoc
+          JOIN sigs sb ON sb.doc_id = p.bdoc AND sb.seed = sa.seed
+          GROUP BY 1, 2
+        ), vprobe AS MATERIALIZED (
+          SELECT ddoc AS d, bdoc AS b FROM pest WHERE e >= {thr}
+        ), dest AS MATERIALIZED (
+          SELECT q.u, q.v,
+                 sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / {nh}.0 AS e
+          FROM dd0 q
+          JOIN sigs sa ON sa.doc_id = q.u
+          JOIN sigs sb ON sb.doc_id = q.v AND sb.seed = sa.seed
+          GROUP BY 1, 2
+        ), vdd AS MATERIALIZED (
+          SELECT u, v FROM dest WHERE e >= {thr}
+        ), bmin AS MATERIALIZED (
+          SELECT d, min(b) AS bm FROM vprobe GROUP BY 1
+        ), parts AS MATERIALIZED (
+          SELECT DISTINCT d FROM (
+            SELECT d FROM vprobe
+            UNION ALL SELECT u FROM vdd
+            UNION ALL SELECT v FROM vdd
+          )
+        ), ranked AS MATERIALIZED (
+          SELECT d, row_number() OVER (ORDER BY d) AS rn FROM parts
+        ), seq(rn, new_ids) AS (
+          SELECT CAST(0 AS BIGINT), CAST([] AS BIGINT[])
+          UNION ALL
+          SELECT r.rn,
+                 CASE WHEN r.d NOT IN (SELECT d FROM bmin)
+                       AND NOT EXISTS (
+                         SELECT 1 FROM vdd e
+                         WHERE e.v = r.d AND list_contains(s.new_ids, e.u))
+                      THEN list_append(s.new_ids, r.d) ELSE s.new_ids END
+          FROM seq s JOIN ranked r ON r.rn = s.rn + 1
+        ), fnew AS (
+          SELECT unnest(new_ids) AS d FROM seq
+          WHERE rn = (SELECT count(*) FROM ranked)
+        ), emin AS (
+          SELECT e.v AS d, min(e.u) AS em
+          FROM vdd e JOIN fnew f ON f.d = e.u GROUP BY 1
+        ), alldelta AS (
+          SELECT doc_id FROM corpus2
+          WHERE doc_id % 4 = 0 OR doc_id >= 1000000000
+        )
+        SELECT a.doc_id,
+               CAST(coalesce(least(coalesce(b.bm, m.em), coalesce(m.em, b.bm)),
+                             a.doc_id) AS BIGINT) AS canonical_id,
+               CAST(CASE WHEN b.bm IS NULL AND m.em IS NULL THEN 1 ELSE 0 END
+                    AS BIGINT) AS is_new
+        FROM alldelta a
+        LEFT JOIN bmin b ON b.d = a.doc_id
+        LEFT JOIN emin m ON m.d = a.doc_id
     """
 
 
@@ -4208,10 +4406,16 @@ ORACLES = {
 # (no false negatives), so it shares the oracle verbatim
 ORACLES["incremental_semijoin_dedup"] = ORACLES["incremental_exact_dedup"]
 
+ORACLES["incremental_neardup_dedup"] = _incremental_neardup_sql()
+# same no-false-negative argument for the int64-bucket bloom variant
+ORACLES["incremental_neardup_semijoin"] = ORACLES["incremental_neardup_dedup"]
+
 QUERIES = {
     "exact_dedup_docs": exact_dedup_docs,
     "incremental_exact_dedup": incremental_exact_dedup,
     "incremental_semijoin_dedup": incremental_semijoin_dedup,
+    "incremental_neardup_dedup": incremental_neardup_dedup,
+    "incremental_neardup_semijoin": incremental_neardup_semijoin,
     "hll_distinct_docs": hll_distinct_docs,
     "tfidf_top_terms": tfidf_top_terms,
     "windowed_chunk_embed": windowed_chunk_embed,

@@ -9,7 +9,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 
-from hmse_ray.functions.bloom import Bloom, hex_words
+from hmse_ray.functions.bloom import Bloom, hex_words, int_words
 from hmse_ray.functions.hll import estimate, registers32
 
 SF = "/root/testdata/sf0.001"
@@ -53,6 +53,26 @@ class TestBloom:
         u = Bloom(1 << 12).add_many(a_keys).union(
             Bloom(1 << 12).add_many(b_keys))
         assert u.contains_many(a_keys + b_keys).all()
+
+    def test_int_words_avalanche_and_determinism(self):
+        keys = np.arange(-500, 500, dtype=np.int64)  # structured input
+        w0, w1 = int_words(keys)
+        x0, x1 = int_words(keys.copy())
+        assert (w0 == x0).all() and (w1 == x1).all()
+        # fmix64 avalanches sequential ints: words look uniform (no
+        # duplicate (w0,w1) pairs, both halves well spread)
+        assert len(set(zip(w0.tolist(), w1.tolist()))) == len(keys)
+        assert len(np.unique(w0 >> np.uint64(24))) > 200
+        z0, z1 = int_words(np.array([], np.int64))
+        assert z0.size == 0 and z1.size == 0
+
+    def test_i64_no_false_negatives_and_fpp(self):
+        added = np.arange(0, 30000, 3, dtype=np.int64) * 7919 - 11
+        b = Bloom(1 << 18, k=5).add_many_i64(added)
+        assert b.contains_many_i64(added).all()
+        probe = np.arange(1_000_000, 1_010_000, dtype=np.int64)
+        fpp = b.contains_many_i64(probe).mean()
+        assert fpp < 0.02, fpp
 
     def test_deterministic(self):
         keys = _shas(range(500))

@@ -161,3 +161,171 @@ class TestBloomSemijoin:
         kept = int(bloom.contains_many(shas).sum())
         # 20 true members + fpp * 5000; at m=2^20/k=7 fpp is ~0 here
         assert 20 <= kept <= 40, kept
+
+
+# --------------------------------------------------- incremental NEAR-dup
+
+# Long distinct base texts; 'qq'-suffixed variants are high-Jaccard
+# near-dups (byte-4-gram J ~ 0.98 >> the 0.8 threshold), reversed texts
+# share almost no 4-grams with their originals.
+def _long(tag: str) -> str:
+    return " ".join(f"{tag}{i} token{(i * 7 + len(tag)) % 23}" for i in range(40))
+
+
+def _neardup_cfg():
+    from hmse_ray.pipelines.queries import TEXT_CFG
+
+    return TEXT_CFG
+
+
+def _ingest_df(bands, sigs, delta, cfg, **kw):
+    return (incremental.ingest_delta_neardup(bands, sigs, delta, cfg, **kw)
+            .to_pandas().set_index("doc_id").sort_index())
+
+
+class TestNeardupIngest:
+    def test_planted_outcomes(self, ray_session):
+        """All three online outcomes: hit-on-base, elected-new, and
+        hit-on-earlier-new-delta-insert (the within-shard online path)."""
+        import ray.data as rd
+
+        cfg = _neardup_cfg()
+        base = _docs(rd, [(1, _long("alpha")), (2, _long("beta")),
+                          (3, _long("gamma"))])
+        delta = _docs(rd, [
+            (10, _long("beta") + " qq"),    # near-dup of base 2 -> hit
+            (11, _long("omega")),           # novel -> new
+            (12, _long("omega") + " qq"),   # near-dup of 11 ONLY -> earlier-new
+            (13, _long("zeta")),            # novel -> new
+        ])
+        bands, sigs = incremental.build_neardup_index(base, cfg)
+        out = _ingest_df(bands, sigs, delta, cfg)
+        assert out.loc[10, "canonical_id"] == 2 and out.loc[10, "is_new"] == 0
+        assert out.loc[11, "canonical_id"] == 11 and out.loc[11, "is_new"] == 1
+        assert out.loc[12, "canonical_id"] == 11 and out.loc[12, "is_new"] == 0
+        assert out.loc[13, "canonical_id"] == 13 and out.loc[13, "is_new"] == 1
+
+    def test_matched_docs_are_not_inserted(self, ray_session):
+        """The reference's online rule: a delta-encoded (matched) record
+        never enters the band tables — so a later ingest matching IT
+        must instead match nothing (or its canonical's entry)."""
+        import ray.data as rd
+
+        cfg = _neardup_cfg()
+        base = _docs(rd, [(1, _long("alpha"))])
+        d1 = _docs(rd, [(10, _long("alpha") + " qq")])  # hit on 1, NOT inserted
+        bands, sigs = incremental.build_neardup_index(base, cfg)
+        a1 = incremental.ingest_delta_neardup(bands, sigs, d1, cfg).materialize()
+        nb, ns = incremental.neardup_index_delta(a1, d1, cfg)
+        assert nb.count() == 0 and ns.count() == 0  # nothing new -> no insert
+
+    def test_fold_equivalence(self, ray_session):
+        """ingest(D1) then ingest(D2) against the appended index ==
+        ingest(D1 ∪ D2) in one shot (ids(D1) < ids(D2)) — the property
+        that makes shard-splitting lossless."""
+        import pandas as pd
+
+        import ray.data as rd
+
+        cfg = _neardup_cfg()
+        base = _docs(rd, [(i, _long(f"b{i}")) for i in range(1, 6)])
+        rows1 = [(10, _long("b2") + " qq"),   # hit on base 2
+                 (11, _long("x")),            # new
+                 (12, _long("x") + " qq")]    # earlier-new 11
+        rows2 = [(20, _long("x") + " qq qq"),  # matches 11 (new in D1) via index
+                 (21, _long("y")),             # new
+                 (22, _long("b3") + " qq")]    # hit on base 3
+        d1, d2 = _docs(rd, rows1), _docs(rd, rows2)
+        dc = _docs(rd, rows1 + rows2)
+        bands, sigs = incremental.build_neardup_index(base, cfg)
+        bands, sigs = bands.materialize(), sigs.materialize()
+
+        a1 = incremental.ingest_delta_neardup(bands, sigs, d1, cfg).materialize()
+        nb, ns = incremental.neardup_index_delta(a1, d1, cfg)
+        bands1 = bands.union(nb).materialize()
+        sigs1 = sigs.union(
+            ns.map_batches(lambda t: t, batch_format="pyarrow")).materialize()
+        a2 = incremental.ingest_delta_neardup(bands1, sigs1, d2, cfg)
+        two = pd.concat([a1.to_pandas(), a2.to_pandas()]).sort_values(
+            "doc_id").reset_index(drop=True)
+
+        one = (incremental.ingest_delta_neardup(bands, sigs, dc, cfg)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert (two.values == one.values).all(), (two, one)
+        # the cross-shard case actually exercised the index-append path
+        both = two.set_index("doc_id")
+        assert both.loc[20, "canonical_id"] == 11 and both.loc[20, "is_new"] == 0
+
+    def test_persist_load_round_trip(self, ray_session):
+        import ray.data as rd
+
+        cfg = _neardup_cfg()
+        base = _docs(rd, [(1, _long("alpha")), (2, _long("beta"))])
+        delta = _docs(rd, [(10, _long("alpha") + " qq"), (11, _long("nu"))])
+        bands, sigs = incremental.build_neardup_index(base, cfg)
+        with tempfile.TemporaryDirectory(dir="/tmp") as d:
+            path = incremental.persist_neardup_index(
+                bands, sigs, os.path.join(d, "ndidx"))
+            assert os.path.exists(os.path.join(path, "_SUCCESS"))
+            lb, ls = incremental.load_neardup_index(path)
+            mem = _ingest_df(bands, sigs, delta, cfg)
+            disk = _ingest_df(lb, ls, delta, cfg)
+            assert (mem.values == disk.values).all()
+        with tempfile.TemporaryDirectory(dir="/tmp") as d:
+            with pytest.raises(FileNotFoundError):
+                incremental.load_neardup_index(d)
+
+    def test_semijoin_identical(self, ray_session):
+        """Bloom pre-filter on int64 bucket keys: bit-identical output,
+        even saturated (m_bits=64 -> fpp ~ 1 only ADDS index rows)."""
+        import ray.data as rd
+
+        cfg = _neardup_cfg()
+        base = _docs(rd, [(i, _long(f"s{i}")) for i in range(1, 40)])
+        delta = _docs(rd, [(100 + i, _long(f"s{i * 3}") + (" qq" if i % 2 else ""))
+                           for i in range(1, 15)])
+        bands, sigs = incremental.build_neardup_index(base, cfg)
+        bands, sigs = bands.materialize(), sigs.materialize()
+        a = _ingest_df(bands, sigs, delta, cfg)
+        b = _ingest_df(bands, sigs, delta, cfg, semijoin=True)
+        c = _ingest_df(bands, sigs, delta, cfg, semijoin=True, m_bits=64, k=2)
+        assert (a.values == b.values).all()
+        assert (a.values == c.values).all()
+
+    def test_semijoin_filters_index_bands(self, ray_session):
+        """The point of the bloom: the filtered index band stream is
+        ~|delta matches| x bands, not |index| x bands."""
+        import ray.data as rd
+
+        from hmse_ray.functions.bloom import build_from_dataset
+
+        cfg = _neardup_cfg()
+        base = _docs(rd, [(i, _long(f"u{i}")) for i in range(1, 400)])
+        delta = _docs(rd, [(1000 + i, _long(f"u{i * 50}")) for i in range(1, 5)])
+        bands, _ = incremental.build_neardup_index(base, cfg)
+        bands = bands.materialize()
+        dsig = incremental.sign_minhash(delta, cfg).materialize()
+        dbands = incremental.band_rows(dsig, cfg).materialize()
+        bloom = build_from_dataset(dbands, "bucket", int_keys=True)
+        keys = bands.to_pandas()["bucket"].to_numpy()
+        kept = int(bloom.contains_many_i64(keys).sum())
+        # >= 4 exact-dup deltas x 16 bands true hits must survive; the
+        # stream must shrink to a small fraction of |index| x bands
+        # (natural near-collisions between the structured synthetic
+        # texts add some legitimate extras; bloom fpp ~0 at 2^20)
+        assert 4 * cfg.num_bands <= kept <= len(keys) // 10, (kept, len(keys))
+
+    def test_bucket_cap_smoke(self, ray_session):
+        """bucket_cap engages representative probing without losing the
+        exact-duplicate hits (dups share every bucket with the min-id
+        base rep, so representative probing still finds them)."""
+        import ray.data as rd
+
+        cfg = _neardup_cfg()
+        shared = _long("hot")
+        base = _docs(rd, [(i, shared) for i in range(1, 30)])  # one mega-bucket set
+        delta = _docs(rd, [(100, shared), (101, _long("cold"))])
+        bands, sigs = incremental.build_neardup_index(base, cfg)
+        out = _ingest_df(bands, sigs, delta, cfg, bucket_cap=4)
+        assert out.loc[100, "canonical_id"] == 1 and out.loc[100, "is_new"] == 0
+        assert out.loc[101, "is_new"] == 1
