@@ -284,15 +284,24 @@ def tfidf_top_terms(sf_dir, k: int = 5):
        per-(source,term) distinct-doc partials SUM exactly across
        batches — no distinct-count shuffle of token instances.
     2. one narrow shuffle keyed on TERM merges partials: tf summed per
-       (source, term), df summed per term, score computed in place.
-    3. one tiny shuffle keyed on SOURCE ranks and keeps the top k.
+       (source, term), df summed per term, score computed in place —
+       then a per-partition (source, top-k) COMBINER: scores are FINAL
+       after the term-keyed merge (df is global there), so a term
+       outside its source's local top-k within a partition cannot be in
+       the global top-k; each term partition forwards at most
+       sources x k rows (VERDICT r4 item 4 — combining before df is
+       known would be unsound, which is why the combiner sits here).
+    3. one tiny shuffle keyed on SOURCE ranks the surviving
+       partitions x sources x k candidate rows and keeps the top k —
+       the reducer no longer holds a source's whole vocabulary.
 
-    Shuffle rows are bounded by vocab x sources (then vocab x sources
-    again), never token instances — at 10^12 docs the token explode
-    stays inside map_batches. Tokenization matches token_counts
-    (whitespace split of trimmed text). score_r = round(tf * ln(N/df),
-    6); rank orders by (score_r DESC, term) so ordering is identical
-    in both engines."""
+    Shuffle rows are bounded by vocab x sources at step 2 and
+    partitions x sources x k at step 3, never token instances — at
+    10^12 docs the token explode stays inside map_batches.
+    Tokenization matches token_counts (whitespace split of trimmed
+    text). score_r = round(tf * ln(N/df), 6); every ranking (local and
+    final) orders by (score_r DESC, term) so ordering is identical in
+    both engines and the combiner is deterministic."""
     from hmse_ray.stages.aggregates import hash_partitioned_groupby_arrow
 
     docs = _docs(sf_dir, ["source", "doc_id", "text"])
@@ -318,6 +327,12 @@ def tfidf_top_terms(sf_dir, k: int = 5):
         g["df"] = g["term"].map(dfx).astype("int64")
         g["score_r"] = np.round(
             g["tf"].to_numpy() * np.log(n_docs / g["df"].to_numpy()), 6)
+        # combiner (scores are final here): forward only each source's
+        # local top-k of this partition — same (score DESC, term)
+        # order as the final rank, so the global top-k is preserved
+        g = g.sort_values(["source", "score_r", "term"],
+                          ascending=[True, False, True])
+        g = g.groupby("source", sort=False).head(k)
         return pa.Table.from_pandas(g, preserve_index=False)
 
     def topk(t: pa.Table) -> pa.Table:
@@ -1633,8 +1648,15 @@ def _word_ngram_sets(texts: list[str], n: int) -> list[set[str]]:
     return out
 
 
+# Above this many distinct benchmark grams the broadcast LUT stops
+# being "MBs against a 100-TB corpus" and decontaminate_docs switches
+# to the co-partition-on-gram shuffle (VERDICT r4 item 3).
+_DECON_BROADCAST_LIMIT = 2_000_000
+
+
 def decontaminate_docs(sf_dir, n: int = 4, bench_mod: int = 50,
-                       bench_rem: int = 7):
+                       bench_rem: int = 7,
+                       broadcast_limit: int = _DECON_BROADCAST_LIMIT):
     """Benchmark decontamination (SQL-checked): flag every corpus doc
     sharing >= 1 word n-gram with the benchmark set — the standard
     train-set decontamination rule (GPT-3 appendix C / PaLM / Llama,
@@ -1643,13 +1665,20 @@ def decontaminate_docs(sf_dir, n: int = 4, bench_mod: int = 50,
     pair; n=4 keeps a measurable natural background too). The benchmark
     set is the deterministic doc_id % 50 == 7 slice (~2%).
 
-    Ray shape: benchmark grams are collected once and broadcast via
-    ray.put (benchmark suites are small by nature — MBs against a
-    100-TB corpus, the textbook broadcast-LUT side); the corpus
-    streams through ONE map_batches doing a vectorized hash-set
-    membership probe per doc. No shuffle at all. A benchmark too big
-    to broadcast would use the same co-partition-on-gram shuffle as
-    incremental ingest; not needed for the use case this models.
+    Ray shape, small benchmark (the common case — suites are MBs
+    against a 100-TB corpus): benchmark grams are collected once and
+    broadcast via ray.put; the corpus streams through ONE map_batches
+    doing a hash-set membership probe per doc. No shuffle.
+
+    Large benchmark (VERDICT r4 item 3 — the fixture models the
+    benchmark as a corpus slice, so the collect would scale with the
+    corpus): when the distinct benchmark gram count exceeds
+    ``broadcast_limit``, the query switches to a co-partition-on-gram
+    shuffle — bench gram rows and corpus (gram, doc) rows hash to the
+    same partition, per-partition distinct-hit partials sum EXACTLY
+    (each gram lives in one partition and per-doc gram rows are
+    distinct), and a doc-keyed shuffle totals n_hits. Bit-parity with
+    the broadcast path is pinned in TestDecontaminate.
 
     Output (doc_id, contaminated, n_hits) for every NON-benchmark doc,
     n_hits = count of distinct matching grams."""
@@ -1663,29 +1692,93 @@ def decontaminate_docs(sf_dir, n: int = 4, bench_mod: int = 50,
             texts) else []
         return pa.table({"g": pa.array(grams, pa.string())})
 
-    bset = set()
-    for row in docs.map_batches(bench_grams,
-                                batch_format="pyarrow").take_all():
-        bset.add(row["g"])
-    bref = ray.put(frozenset(bset))
+    bg_rows = docs.map_batches(bench_grams, batch_format="pyarrow").materialize()
+    if bg_rows.count() <= broadcast_limit:
+        bset = set()
+        for row in bg_rows.take_all():
+            bset.add(row["g"])
+        bref = ray.put(frozenset(bset))
 
-    def probe(t: pa.Table) -> pa.Table:
-        bg = ray.get(bref)
+        def probe(t: pa.Table) -> pa.Table:
+            bg = ray.get(bref)
+            ids = t["doc_id"].to_numpy()
+            sel = np.flatnonzero(ids % bench_mod != bench_rem)
+            sub = t.take(sel)
+            hits = np.array(
+                [len(gs & bg) for gs in _word_ngram_sets(
+                    sub["text"].to_pylist(), n)],
+                dtype=np.int64,
+            )
+            return pa.table({
+                "doc_id": pa.array(ids[sel], pa.int64()),
+                "contaminated": pa.array((hits > 0).astype(np.int64), pa.int64()),
+                "n_hits": pa.array(hits, pa.int64()),
+            })
+
+        return docs.map_batches(probe, batch_format="pyarrow")
+
+    # ---- co-partition-on-gram path (benchmark too big to broadcast)
+    from hmse_ray.stages.aggregates import copartition_two, hash_partitioned_groupby_arrow
+
+    def corpus_gram_rows(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy()
         sel = np.flatnonzero(ids % bench_mod != bench_rem)
         sub = t.take(sel)
-        hits = np.array(
-            [len(gs & bg) for gs in _word_ngram_sets(
-                sub["text"].to_pylist(), n)],
-            dtype=np.int64,
-        )
+        gsets = _word_ngram_sets(sub["text"].to_pylist(), n)
+        sub_ids = ids[sel]
+        out_g: list[str] = []
+        out_id: list[int] = []
+        for i, gs in enumerate(gsets):
+            out_g.extend(gs)
+            out_id.extend([int(sub_ids[i])] * len(gs))
         return pa.table({
-            "doc_id": pa.array(ids[sel], pa.int64()),
-            "contaminated": pa.array((hits > 0).astype(np.int64), pa.int64()),
-            "n_hits": pa.array(hits, pa.int64()),
+            "g": pa.array(out_g, pa.string()),
+            "doc_id": pa.array(out_id, pa.int64()),
         })
 
-    return docs.map_batches(probe, batch_format="pyarrow")
+    gram_schema = pa.schema([("g", pa.string()), ("doc_id", pa.int64())])
+
+    def hit_partials(bench_t: pa.Table, corpus_t: pa.Table) -> pa.Table:
+        if bench_t.num_rows == 0 or corpus_t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "hits": pa.array([], pa.int64())})
+        bg = pc.unique(_combine_col(bench_t["g"]))
+        in_bench = pc.is_in(corpus_t["g"], value_set=bg)
+        hit_docs = corpus_t["doc_id"].filter(in_bench)
+        if len(hit_docs) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "hits": pa.array([], pa.int64())})
+        gp = pa.table({"doc_id": hit_docs}).group_by("doc_id").aggregate(
+            [("doc_id", "count")])
+        return pa.table({
+            "doc_id": gp["doc_id"],
+            "hits": gp["doc_id_count"].cast(pa.int64()),
+        })
+
+    partials = copartition_two(
+        bg_rows, docs.map_batches(corpus_gram_rows, batch_format="pyarrow"),
+        "g", gram_schema, hit_partials,
+    )
+
+    def zero_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        sel = np.flatnonzero(ids % bench_mod != bench_rem)
+        return pa.table({
+            "doc_id": pa.array(ids[sel], pa.int64()),
+            "hits": pa.array(np.zeros(sel.size, np.int64), pa.int64()),
+        })
+
+    def total(t: pa.Table) -> pa.Table:
+        gp = t.group_by("doc_id").aggregate([("hits", "sum")])
+        hits = gp["hits_sum"].to_numpy()
+        return pa.table({
+            "doc_id": gp["doc_id"],
+            "contaminated": pa.array((hits > 0).astype(np.int64), pa.int64()),
+            "n_hits": pa.array(hits.astype(np.int64), pa.int64()),
+        })
+
+    unioned = docs.map_batches(zero_rows, batch_format="pyarrow").union(partials)
+    return hash_partitioned_groupby_arrow(unioned, "doc_id", total)
 
 
 _STRAT_SEED = 0xA11CE
@@ -1992,7 +2085,7 @@ def verify_packed_pairs(sh_ds, packed, threshold: float):
     return hash_partitioned_groupby_arrow(joined, "pairkey", verify_part)
 
 
-def doc_clusters(sf_dir, threshold: float = 0.8):
+def doc_clusters(sf_dir, threshold: float = 0.8, num_salts: int = 1):
     """Near-dup cluster assignment over documents (SQL-checked).
 
     VERDICT r2 item 2 shape: edges come from MinHash-LSH banding
@@ -2005,7 +2098,15 @@ def doc_clusters(sf_dir, threshold: float = 0.8):
     high-background-similarity corpora; the DuckDB oracle reproduces
     the SAME banding bit-for-bit, so the hash check stays sound
     independent of LSH recall. The exact prefix-filter join remains
-    available as the bounded audit tool (ngram_jaccard_pairs)."""
+    available as the bounded audit tool (ngram_jaccard_pairs).
+
+    num_salts > 1 runs the SALT-SAFE verifier (VERDICT r4 item 6,
+    _doc_clusters_salted): salted within-sub-bucket all-pairs seed the
+    edge set, then a cross-label refinement loop over the UNSALTED
+    bucket membership verifies exactly the inter-component pairs a
+    salted rep chain could orphan — output is identical to the unsalted
+    path (and the SQL oracle) for ANY salt count, pinned hash-green on
+    a planted hot-bucket fixture in TestDocClustersSalted."""
     from hmse_ray.stages import clustering, lsh, signatures
 
     # NOT materialized (VERDICT r3 item 5): each consumer (signing,
@@ -2019,26 +2120,165 @@ def doc_clusters(sf_dir, threshold: float = 0.8):
         batch_format="pyarrow",
     )
     signed = signatures.minhash_stage(as_caps, TEXT_CFG).materialize()
-    # num_salts=1 pins the UNSALTED banding path: _doc_clusters_sql
-    # reproduces unsalted banding, and with exact verification a salted
-    # sub-bucket whose rep fails verification could orphan true
-    # member-member pairs (ADVICE r3). The corpus has no hot buckets;
-    # at real scale, rerun with salting AND a star-free verifier.
-    cand = lsh.candidate_edges(signed, TEXT_CFG, edge_shape="all", num_salts=1)
-    edges = exact_verify_edges(docs, cand, threshold).map_batches(
-        lambda t: pa.table(
-            {
-                "src": pc.cast(t["id_a"], pa.string()),
-                "dst": pc.cast(t["id_b"], pa.string()),
-            }
-        ),
-        batch_format="pyarrow",
-    )
     images = docs.map_batches(
         lambda t: pa.table({"image_id": pc.cast(t["doc_id"], pa.string())}),
         batch_format="pyarrow",
     )
+    if num_salts > 1:
+        return _doc_clusters_salted(docs, signed, images, threshold, num_salts)
+    # num_salts=1 is the default oracle-checked path: _doc_clusters_sql
+    # reproduces unsalted banding directly (no refinement loop needed).
+    cand = lsh.candidate_edges(signed, TEXT_CFG, edge_shape="all", num_salts=1)
+    edges = exact_verify_edges(docs, cand, threshold).map_batches(
+        _edges_as_src_dst, batch_format="pyarrow",
+    )
     return clustering.cluster_from_edges(edges, images, CFG)
+
+
+def _edges_as_src_dst(t: pa.Table) -> pa.Table:
+    return pa.table(
+        {
+            "src": pc.cast(t["id_a"], pa.string()),
+            "dst": pc.cast(t["id_b"], pa.string()),
+        }
+    )
+
+
+def _crosslabel_pairs(t: pa.Table) -> pa.Table:
+    """One hash partition of (bucket, image_id, cluster_id) membership
+    rows -> all CROSS-label pairs within each bucket (numeric id_a <
+    id_b). Same-label pairs are skipped — they are already connected,
+    which is what keeps the refinement cheap on hot buckets full of one
+    duplicate family."""
+    empty = pa.table(
+        {"id_a": pa.array([], pa.string()), "id_b": pa.array([], pa.string())}
+    )
+    if t.num_rows == 0:
+        return empty
+    t = t.sort_by(
+        [("bucket", "ascending"), ("cluster_id", "ascending"),
+         ("image_id", "ascending")]
+    )
+    b = t["bucket"].to_numpy()
+    lab = t["cluster_id"].to_pandas().to_numpy()
+    ids_num = pc.cast(t["image_id"], pa.int64()).to_numpy()
+    n = len(b)
+    newb = np.empty(n, dtype=bool)
+    newb[0] = True
+    newb[1:] = b[1:] != b[:-1]
+    starts = np.append(np.nonzero(newb)[0], n)
+    out_a, out_b = [], []
+    for s, e in zip(starts[:-1], starts[1:]):
+        if e - s < 2:
+            continue
+        labs = lab[s:e]
+        segs = np.append(
+            np.nonzero(np.r_[True, labs[1:] != labs[:-1]])[0], e - s)
+        if len(segs) <= 2:  # one label in this bucket
+            continue
+        gi = ids_num[s:e]
+        for i in range(len(segs) - 1):
+            for j in range(i + 1, len(segs) - 1):
+                u = gi[segs[i]:segs[i + 1]]
+                v = gi[segs[j]:segs[j + 1]]
+                uu = np.repeat(u, v.size)
+                vv = np.tile(v, u.size)
+                out_a.append(np.minimum(uu, vv))
+                out_b.append(np.maximum(uu, vv))
+    if not out_a:
+        return empty
+    return pa.table(
+        {
+            "id_a": pa.array(np.concatenate(out_a).astype(str), pa.string()),
+            "id_b": pa.array(np.concatenate(out_b).astype(str), pa.string()),
+        }
+    )
+
+
+def _doc_clusters_salted(docs, signed, images, threshold: float,
+                         num_salts: int, max_rounds: int = 32):
+    """Salt-safe exact-verified clustering (VERDICT r4 item 6).
+
+    Why the plain salted path is unsound with exact verification: with
+    pre-shuffle salting, cross-sub-bucket connectivity rides star edges
+    through sub-bucket REPS — if a rep fails exact verification, true
+    member-member pairs across sub-buckets are orphaned and clusters
+    split vs the unsalted oracle.
+
+    Fix — seed + cross-label refinement to a fixpoint:
+    1. seed edges: salted within-sub-bucket all-pairs (plus rep links),
+       exact-verified — reducer memory stays bounded by the sub-bucket
+       cap, which is the point of salting;
+    2. loop: label docs by connected components of the verified edges;
+       attach labels to the UNSALTED (bucket, id) membership rows (one
+       co-partition on id); per bucket, emit only pairs whose endpoints
+       carry DIFFERENT labels (same-label pairs are already connected);
+       exact-verify those; stop when a round verifies nothing new.
+
+    At the fixpoint every within-bucket pair is either same-label or
+    verified-and-failed, so the components equal the unsalted all-pairs
+    result EXACTLY — for any salt count and any corpus. Cost: hot
+    buckets of one duplicate family collapse to a single label after
+    round 1 (no cross-label pairs remain); only genuinely mixed buckets
+    pay cross-label verification, and the pair volume shrinks
+    monotonically as components merge."""
+    from hmse_ray.stages import clustering, lsh
+    from hmse_ray.stages.aggregates import (
+        copartition_two, distinct_pairs, gather_lookup,
+        hash_partitioned_groupby_arrow,
+    )
+
+    cfg = TEXT_CFG
+    cand = lsh.candidate_edges(signed, cfg, edge_shape="all",
+                               num_salts=num_salts)
+    edges_acc = (
+        exact_verify_edges(docs, cand, threshold)
+        .map_batches(_edges_as_src_dst, batch_format="pyarrow")
+        .materialize()
+    )
+    bands_cols = ["image_id"] + [f"band_h{b}" for b in range(cfg.num_bands)]
+    membership = signed.select_columns(bands_cols).map_batches(
+        lambda t: lsh.band_explode(t, cfg), batch_format="pyarrow"
+    ).materialize()
+    mem_schema = pa.schema([
+        ("image_id", pa.string()),
+        ("bucket", pa.int64()),
+        ("cluster_id", pa.string()),
+    ])
+
+    def attach(mt: pa.Table, lt: pa.Table) -> pa.Table:
+        return gather_lookup(
+            mt.select(["image_id", "bucket"]), "image_id",
+            lt.select(["image_id", "cluster_id"]), "image_id",
+            {"cluster_id": "cluster_id"},
+        )
+
+    labels = None
+    stale = True
+    for _ in range(max_rounds):
+        labels = clustering.cluster_from_edges(
+            edges_acc, images, CFG).materialize()
+        stale = False
+        attached = copartition_two(
+            membership, labels, "image_id", mem_schema, attach)
+        cross = distinct_pairs(
+            hash_partitioned_groupby_arrow(attached, "bucket", _crosslabel_pairs),
+            val_col=None,
+        ).materialize()
+        if cross.count() == 0:
+            break
+        new_edges = (
+            exact_verify_edges(docs, cross, threshold)
+            .map_batches(_edges_as_src_dst, batch_format="pyarrow")
+            .materialize()
+        )
+        if new_edges.count() == 0:
+            break
+        edges_acc = edges_acc.union(new_edges).materialize()
+        stale = True
+    if stale:  # max_rounds exhausted right after adding edges
+        labels = clustering.cluster_from_edges(edges_acc, images, CFG)
+    return labels
 
 
 def simhash_text_pairs(sf_dir):
@@ -2189,7 +2429,18 @@ def exact_jaccard_pairs(docs, threshold: float = 0.7):
             return empty
         return pa.table({"pairkey": pa.array(np.concatenate(keys), pa.int64())})
 
-    sh_ds = docs.map_batches(shingle_rows, batch_format="pyarrow").materialize()
+    # Checkpoint the shingle-row table to parquet and re-read it
+    # (VERDICT r4 item 7, the doc_clusters r3 pattern): four downstream
+    # stages consume it, and a .materialize() would PIN the full
+    # exploded table in the object store for the whole join — at 100 TB
+    # the safer shape is spill-to-parquet once, stream back on demand.
+    import tempfile
+    import uuid
+
+    ckpt = os.path.join(
+        tempfile.gettempdir(), f"hmse_shingle_ckpt_{uuid.uuid4().hex}")
+    docs.map_batches(shingle_rows, batch_format="pyarrow").write_parquet(ckpt)
+    sh_ds = rd.read_parquet(ckpt)
     with_df = hash_partitioned_groupby_arrow(sh_ds, "shingle", df_part)
     prefixes = hash_partitioned_groupby_arrow(with_df, "doc_id", prefix_part)
     cand = hash_partitioned_groupby_arrow(prefixes, "shingle", pairs_part)
@@ -2817,47 +3068,96 @@ def lsh_hit_rate(sf_dir):
 def random_pair_jaccard_hist(sf_dir, n_bins: int = 10):
     """O2 (SQL-checked): seeded random document pairs -> Jaccard-estimate
     histogram for LSH calibration (README.md:2319-2324). Pairing is
-    deterministic: doc i with doc i+N/2 after a seeded shuffle."""
-    import pyarrow.parquet as pq
+    deterministic: doc i with doc i+N/2 after a seeded shuffle.
 
-    from hmse_ray.functions import minhash as mh_fn
+    Partitioned like its exact twin (VERDICT r4 item 2 — the previous
+    version collected the full signature table on the driver): the
+    pairing map is built by one tiny task from a NARROW doc_id scan and
+    broadcast; each batch signs only its paired docs and tags rows
+    (pair_id, side, minhash); pair intersections + per-partition
+    histograms run hash-partitioned by pair_id; the driver only sums
+    P x n_bins histogram rows. No task or driver ever holds the
+    signature table."""
+    from hmse_ray.functions import minhash as mh_fn, murmur3
+    from hmse_ray.stages.aggregates import hash_partitioned_groupby_arrow
 
     docs = _docs(sf_dir, ["doc_id", "text"])
+    id_refs = docs.map_batches(
+        lambda t: pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64())}),
+        batch_format="pyarrow",
+    ).to_arrow_refs()
 
-    def sign(t: pa.Table) -> pa.Table:
-        sigs = mh_fn.signatures([x.encode() for x in t["text"].to_pylist()], CFG)
+    @ray.remote
+    def build_pairing(*tables):
+        ids = np.unique(pa.concat_tables(tables)["doc_id"].to_numpy())
+        hm = murmur3.murmur3_u32(ids.astype(np.uint32), CFG.sample_seed)
+        order = np.lexsort((ids, hm))
+        half = len(order) // 2
+        pid = np.full(ids.size, -1, dtype=np.int64)
+        side = np.zeros(ids.size, dtype=np.int8)
+        pid[order[:half]] = np.arange(half)
+        pid[order[half : 2 * half]] = np.arange(half)
+        side[order[half : 2 * half]] = 1
+        return ids, pid, side
+
+    mapping_ref = build_pairing.remote(*id_refs)
+    nh = CFG.num_hashes
+
+    def sign_tag(t: pa.Table) -> pa.Table:
+        ids_arr, pid, side = ray.get(mapping_ref)
+        d = pc.cast(t["doc_id"], pa.int64()).to_numpy()
+        pos = np.searchsorted(ids_arr, d)
+        pos[pos == ids_arr.size] = 0
+        keep = np.flatnonzero((ids_arr[pos] == d) & (pid[pos] >= 0))
+        sel = t.take(keep)
+        sigs = mh_fn.signatures(
+            [x.encode() for x in sel["text"].to_pylist()], CFG)
         return pa.table(
             {
-                "doc_id": t["doc_id"],
+                "pair_id": pa.array(pid[pos[keep]], pa.int64()),
+                "side": pa.array(side[pos[keep]], pa.int8()),
                 "minhash": pa.FixedSizeListArray.from_arrays(
-                    pa.array(sigs.ravel(), pa.uint32()), CFG.num_hashes
+                    pa.array(sigs.ravel(), pa.uint32()), nh
                 ),
             }
         )
 
-    signed = docs.map_batches(sign, batch_format="pyarrow").to_pandas()
-    # pairing by murmur rank (same deterministic rule as the SQL-checked
-    # true-jaccard twin below: rank docs by murmur3(doc_id), pair rank k
-    # with rank k + n/2)
-    from hmse_ray.functions import murmur3
+    bins_lo = np.round(np.arange(n_bins) / n_bins, 2)
 
-    ids = signed["doc_id"].to_numpy()
-    hm = murmur3.murmur3_u32(ids.astype(np.uint32), CFG.sample_seed)
-    order = np.lexsort((ids, hm))
-    half = len(order) // 2
-    a = np.stack(
-        [np.asarray(signed["minhash"][i]) for i in order[:half]]
-    )
-    b = np.stack(
-        [np.asarray(signed["minhash"][i]) for i in order[half : 2 * half]]
-    )
-    est = (a == b).mean(axis=1)
-    hist, _ = np.histogram(est, bins=n_bins, range=(0.0, 1.0))
-    return pd.DataFrame(
-        {
-            "bin_lo": np.round(np.arange(n_bins) / n_bins, 2),
-            "n_pairs": hist.astype("int64"),
-        }
+    def part_hist(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("pair_id", "ascending"), ("side", "ascending")])
+        pids = t["pair_id"].to_numpy()
+        counts = np.zeros(n_bins, dtype=np.int64)
+        n = pids.size
+        if n:
+            M = np.asarray(_combine_col(t["minhash"]).flatten()).reshape(n, nh)
+            new = np.empty(n, dtype=bool)
+            new[0] = True
+            new[1:] = pids[1:] != pids[:-1]
+            starts = np.nonzero(new)[0]
+            sizes = np.diff(np.append(starts, n))
+            full = starts[sizes == 2]  # both sides present (always here)
+            if full.size:
+                est = (M[full] == M[full + 1]).mean(axis=1)
+                hist, _ = np.histogram(est, bins=n_bins, range=(0.0, 1.0))
+                counts += hist.astype(np.int64)
+        return pa.table(
+            {
+                "bin_lo": pa.array(bins_lo, pa.float64()),
+                "n_pairs": pa.array(counts, pa.int64()),
+            }
+        )
+
+    tagged = docs.map_batches(sign_tag, batch_format="pyarrow")
+    parts = hash_partitioned_groupby_arrow(tagged, "pair_id", part_hist)
+    # per-partition histograms are n_bins rows each — summing
+    # driver-side is P x n_bins tiny rows, cheaper than a second shuffle
+    return (
+        parts.to_pandas()
+        .groupby("bin_lo", as_index=False)["n_pairs"]
+        .sum()
+        .sort_values("bin_lo")
+        .reset_index(drop=True)
     )
 
 

@@ -122,3 +122,77 @@ class TestCandidateScaleShape:
         edges = _edge_set(_lsh_exact_edges(docs, 0.8))
         planted = {(i - 1, i) for i in range(1, 600, 25)}
         assert planted <= edges, sorted(planted - edges)[:5]
+
+
+def _hot_bucket_fixture(tmp_path) -> str:
+    """Planted hot-bucket corpus written as <dir>/documents.parquet:
+
+    - a 40-doc near-identical family (one template, tiny suffix edits,
+      j >= 0.95 pairwise) — its band buckets hold all 40 docs, so any
+      uniform salting splits them into sub-buckets (the orphan-risk
+      shape a salted rep chain must not break apart);
+    - a 3-doc similarity CHAIN A~B~C with j(A,B), j(B,C) >= 0.8 but
+      j(A,C) < 0.8 — connectivity must come from verified edges, not
+      from any single rep;
+    - distinct background docs."""
+    import pyarrow.parquet as pq
+
+    base = " ".join(f"hot{i:03d} item{(i * 5) % 17}" for i in range(36))
+    texts = [base + f" v{j:02d}" for j in range(40)]           # hot family
+    chain = " ".join(f"ch{i:03d}" for i in range(50))
+    # measured byte-4-gram jaccards: j(A,B)=0.832, j(B,C)=0.831,
+    # j(A,C)=0.692 — adjacent >= 0.8, endpoints < 0.8
+    pad1 = " " + " ".join(f"p1x{i}" for i in range(8))
+    pad2 = " " + " ".join(f"p2y{i}" for i in range(10))
+    texts += [chain, chain + pad1, chain + pad1 + pad2]        # A, B, C
+    texts += [" ".join(f"bg{k}t{i}a{(i * 3 + k) % 13}" for i in range(40))
+              for k in range(10)]                              # background
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+    })
+    d = str(tmp_path / "hotsf")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(tbl, os.path.join(d, "documents.parquet"))
+    return d
+
+
+class TestDocClustersSalted:
+    """VERDICT r4 item 6: doc_clusters with forced salting must equal
+    the unsalted path — and the unsalted DuckDB oracle — exactly."""
+
+    def test_salted_matches_oracle_on_hot_bucket_fixture(
+            self, ray_session, tmp_path):
+        import duckdb
+
+        from hmse_ray.pipelines.queries import ORACLES, doc_clusters
+
+        d = _hot_bucket_fixture(tmp_path)
+        got = (doc_clusters(d, num_salts=4).to_pandas()
+               .sort_values("image_id").reset_index(drop=True))
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')")
+        want = (con.execute(ORACLES["doc_clusters"]).df()
+                .sort_values("image_id").reset_index(drop=True))
+        assert got["image_id"].tolist() == want["image_id"].tolist()
+        assert got["cluster_id"].tolist() == want["cluster_id"].tolist()
+        # non-vacuous: the hot family is one cluster, the chain another
+        labels = got.set_index("image_id")["cluster_id"]
+        fam = {labels[str(i)] for i in range(40)}
+        assert len(fam) == 1
+        ch = {labels[str(i)] for i in (40, 41, 42)}
+        assert len(ch) == 1 and ch != fam
+
+    def test_salted_matches_unsalted_nonpow2(self, ray_session, tmp_path):
+        from hmse_ray.pipelines.queries import doc_clusters
+
+        d = _hot_bucket_fixture(tmp_path)
+        uns = (doc_clusters(d).to_pandas()
+               .sort_values("image_id").reset_index(drop=True))
+        s3 = (doc_clusters(d, num_salts=3).to_pandas()
+              .sort_values("image_id").reset_index(drop=True))
+        assert (uns.values == s3[uns.columns].values).all()

@@ -41,6 +41,17 @@ class TestDecontaminate:
                 continue
             assert out.loc[d, "n_hits"] == len(grams(tx) & bench)
 
+    def test_copartition_path_bit_parity(self, ray_session):
+        """VERDICT r4 item 3: the large-benchmark co-partition-on-gram
+        path (forced via broadcast_limit=0) must match the broadcast
+        path row for row."""
+        bc = (queries.decontaminate_docs(SF).to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+        cp = (queries.decontaminate_docs(SF, broadcast_limit=0).to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+        assert list(bc.columns) == list(cp.columns)
+        assert (bc.values == cp[bc.columns].values).all()
+
 
 class TestStratifiedSample:
     def test_ranks_complete_and_deterministic(self, ray_session):

@@ -125,3 +125,26 @@ class TestTfidfTopTerms:
             s = grp.sort_values("sel_rank")
             # scores non-increasing with rank within a source
             assert (s["score_r"].diff().dropna() <= 1e-12).all()
+
+    def test_blocking_invariance(self, ray_session, monkeypatch):
+        """VERDICT r4 item 4: the post-merge per-partition top-k
+        combiner must be invariant to input blocking (the combiner runs
+        after df is global, so no block layout can evict a true top-k
+        term)."""
+        import hmse_ray.pipelines.queries as q
+
+        cols = ["source", "term", "tf", "df", "score_r", "sel_rank"]
+        base = (q.tfidf_top_terms(self.SF).to_pandas()[cols]
+                .sort_values(["source", "sel_rank"]).reset_index(drop=True))
+        orig = q._docs
+
+        def reblocked(sf_dir, columns=None):
+            return orig(sf_dir, columns).repartition(7)
+
+        monkeypatch.setattr(q, "_docs", reblocked)
+        alt = (q.tfidf_top_terms(self.SF).to_pandas()[cols]
+               .sort_values(["source", "sel_rank"]).reset_index(drop=True))
+        assert base["term"].tolist() == alt["term"].tolist()
+        assert (base[["tf", "df", "sel_rank"]].values
+                == alt[["tf", "df", "sel_rank"]].values).all()
+        assert (base["score_r"].to_numpy() == alt["score_r"].to_numpy()).all()
