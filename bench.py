@@ -34,6 +34,7 @@ NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # representative per-operator queries timed over the sf dir
 BENCH_QUERIES = [
     "exact_dedup_docs",
+    "incremental_neardup_semijoin",
     "hll_distinct_docs",
     "tfidf_top_terms",
     "windowed_chunk_embed",

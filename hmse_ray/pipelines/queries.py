@@ -16,7 +16,12 @@ Operator coverage map (SURVEY.md section 2 -> query):
   incremental ingest ....... incremental_exact_dedup (persisted base
                              index + one co-partition shuffle per delta
                              shard — the reference's online
-                             insert/lookup semantics, SQL-checked)
+                             insert/lookup semantics, SQL-checked);
+                             incremental_neardup_dedup/_semijoin (the
+                             L4 analog: persisted band index, online
+                             probe/insert order reproduced exactly —
+                             SQL-checked incl. the sequential
+                             assignment)
   M3 chunking .............. fixed_chunk_histogram (SQL), cdc_chunk_stats,
                              cdc_source_chunks (REAL gear-hash cuts,
                              SQL-checked via recursive CTE oracle)
@@ -477,10 +482,12 @@ def hll_distinct_docs(sf_dir, p: int = HLL_P):
     and the estimate finalizes per source. At 10^12 rows the shuffle
     carries KBs per source instead of one row per document.
 
-    SQL-checked bit-for-bit: sha256 top-32-bit hash, integer registers,
-    exact float64 power-of-two sums, and one shared IEEE division/log
-    sequence (see functions/hll.py docstring), rounded to 3 decimals."""
-    from hmse_ray.functions.hll import estimate, registers32
+    SQL-checked bit-for-bit: sha256 top-64-bit hash (no 2^32
+    cardinality ceiling — ADVICE r4), integer registers, an EXACT
+    integer-scaled register sum converted to float64 once, and one
+    shared IEEE division/log sequence (see functions/hll.py
+    docstring), rounded to 3 decimals."""
+    from hmse_ray.functions.hll import estimate, registers64
     from hmse_ray.stages.aggregates import hash_partitioned_groupby_arrow
 
     m = 1 << p
@@ -488,7 +495,7 @@ def hll_distinct_docs(sf_dir, p: int = HLL_P):
     def partial(t: pa.Table) -> pa.Table:
         hs = [hashlib.sha256(x.encode()).hexdigest()
               for x in t["text"].to_pylist()]
-        j, rho = registers32(hs, p)
+        j, rho = registers64(hs, p)
         df = pd.DataFrame({
             "source": t["source"].to_pandas(),
             "register": j,
@@ -4357,29 +4364,37 @@ def _stratified_sample_sql(per_source: int = 8) -> str:
 
 
 def _hll_sql(p: int = HLL_P) -> str:
-    """DuckDB mirror of hll_distinct_docs (functions/hll.py): top-32-bit
-    sha256 hash (hex parsed positionally — exact integer arithmetic),
-    register/rho via length(bin(w)) (= bitlength, so rho is exact),
-    SUM(2^-max_rho) (exact in float64: every term a multiple of
-    2^-(32-p+1), total < m — order-independent), then the identical
-    IEEE alpha/raw/linear-counting sequence rounded to 3 decimals."""
+    """DuckDB mirror of hll_distinct_docs (functions/hll.py): top-64-bit
+    sha256 hash (16 hex chars parsed positionally into HUGEINT — exact
+    integer arithmetic, no 2^32 ceiling), register/rho via
+    length(bin(w)) (= bitlength, exact), and the EXACT integer-scaled
+    register sum ``SUM(1 << (wbits+1-max_rho)) + zeros * 2^(wbits+1)``
+    (each term <= 2^wbits; SUM(BIGINT) promotes to HUGEINT) converted
+    to DOUBLE once — the same single rounding the Python side performs —
+    then the identical IEEE alpha/raw/linear-counting sequence rounded
+    to 3 decimals."""
     m = 1 << p
-    wbits = 32 - p
-    wmask = (1 << wbits) - 1
-    hex32 = " + ".join(
+    wbits = 64 - p
+    wdiv = 1 << wbits
+    scale = 1 << (wbits + 1)
+    # first term HUGEINT to promote the whole 16-digit sum past BIGINT
+    hex64 = " + ".join(
+        ("CAST(strpos('0123456789abcdef', substr(hx, 1, 1)) - 1 AS HUGEINT)"
+         f" * {16 ** 15}") if i == 0 else
         f"(strpos('0123456789abcdef', substr(hx, {i + 1}, 1)) - 1)"
-        f" * {16 ** (7 - i)}"
-        for i in range(8)
+        f" * {16 ** (15 - i)}"
+        for i in range(16)
     )
     return f"""
         WITH hx0 AS (
           SELECT source, sha256(text) AS hx FROM documents
         ), h AS (
-          SELECT source, {hex32} AS h32 FROM hx0
+          SELECT source, {hex64} AS h64 FROM hx0
         ), r AS (
-          SELECT source, h32 // {wmask + 1} AS register,
-                 CASE WHEN h32 % {wmask + 1} = 0 THEN {wbits + 1}
-                      ELSE {wbits + 1} - length(bin(h32 % {wmask + 1}))
+          SELECT source, CAST(h64 // {wdiv} AS BIGINT) AS register,
+                 CASE WHEN h64 % {wdiv} = 0 THEN {wbits + 1}
+                      ELSE {wbits + 1}
+                           - length(bin(CAST(h64 % {wdiv} AS BIGINT)))
                  END AS rho
           FROM h
         ), mx AS (
@@ -4387,7 +4402,8 @@ def _hll_sql(p: int = HLL_P) -> str:
           FROM r GROUP BY 1, 2
         ), s AS (
           SELECT source,
-                 SUM(power(2.0, -max_rho)) + ({m} - COUNT(*)) AS sum_inv,
+                 SUM(CAST(1 AS BIGINT) << ({wbits + 1} - max_rho))
+                   + CAST({m} - COUNT(*) AS HUGEINT) * {scale} AS sum_scaled,
                  {m} - COUNT(*) AS zero_registers
           FROM mx GROUP BY source
         )
@@ -4396,8 +4412,8 @@ def _hll_sql(p: int = HLL_P) -> str:
                ROUND(CASE WHEN raw <= 2.5 * {m} AND zero_registers > 0
                           THEN {m} * ln({m}.0 / zero_registers)
                           ELSE raw END, 3) AS est_distinct_r
-        FROM (SELECT *, (0.7213 / (1.0 + 1.079 / {m})) * {m} * {m} / sum_inv
-                     AS raw
+        FROM (SELECT *, (0.7213 / (1.0 + 1.079 / {m})) * {m} * {m}
+                     / (CAST(sum_scaled AS DOUBLE) / {float(scale)}) AS raw
               FROM s)
     """
 

@@ -40,8 +40,9 @@ def main(argv=None) -> int:
     p.add_argument("--num-cpus", type=int, default=32)
 
     p = sub.add_parser(
-        "ingest", help="incremental exact-dedup ingest: delta parquet vs a "
-        "persisted canonical index (pipelines/incremental.py)")
+        "ingest", help="incremental dedup ingest: delta parquet vs a "
+        "persisted index (pipelines/incremental.py) — exact sha by "
+        "default, MinHash-LSH near-dup with --neardup")
     p.add_argument("--index", required=True,
                    help="persisted index dir (_SUCCESS-gated); created "
                         "when --build-from is given")
@@ -51,12 +52,17 @@ def main(argv=None) -> int:
     p.add_argument("--delta", help="(id, text) parquet shard to ingest")
     p.add_argument("--output", help="assignments parquet dir")
     p.add_argument("--updated-index",
-                   help="persist index + newly-elected canonicals here "
+                   help="persist index + newly-inserted canonicals here "
                         "(the next ingest's --index)")
     p.add_argument("--semijoin", action="store_true",
                    help="bloom semi-join: pre-filter the index stream by a "
-                        "bloom of the delta's shas before the shuffle "
+                        "bloom of the delta's shas (or, with --neardup, "
+                        "band buckets) before the shuffle "
                         "(the big-index/small-delta shape)")
+    p.add_argument("--neardup", action="store_true",
+                   help="near-dup ingest against a persisted LSH band "
+                        "index (online L4 probe semantics) instead of "
+                        "exact sha dedup")
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     p.add_argument("--num-cpus", type=int, default=32)
@@ -142,37 +148,76 @@ def main(argv=None) -> int:
 
             from hmse_ray.pipelines import incremental
 
+            from hmse_ray.pipelines.queries import TEXT_CFG
+
             if args.build_from:
-                idx = incremental.build_index(
-                    rd.read_parquet(args.build_from,
-                                    columns=[args.id_col, args.text_col]),
-                    args.id_col, args.text_col)
-                incremental.persist_index(idx, args.index)
-                print(json.dumps({"index": args.index,
-                                  "entries": idx.count()}))
+                # ADVICE r4: build-then-exit would silently ignore a
+                # combined --delta/--output request — refuse instead
+                if args.delta or args.output:
+                    ap.error("--build-from builds the index and exits; "
+                             "run ingest again with --delta/--output "
+                             "against the built --index")
+                src = rd.read_parquet(
+                    args.build_from, columns=[args.id_col, args.text_col])
+                if args.neardup:
+                    bands, sigs = incremental.build_neardup_index(
+                        src, TEXT_CFG, args.id_col, args.text_col)
+                    incremental.persist_neardup_index(bands, sigs, args.index)
+                    print(json.dumps({"index": args.index,
+                                      "entries": sigs.count()}))
+                else:
+                    idx = incremental.build_index(
+                        src, args.id_col, args.text_col)
+                    incremental.persist_index(idx, args.index)
+                    print(json.dumps({"index": args.index,
+                                      "entries": idx.count()}))
             else:
                 if not (args.delta and args.output):
                     ap.error("ingest needs --delta and --output "
                              "(or --build-from)")
-                idx = incremental.load_index(args.index)
                 delta = rd.read_parquet(
                     args.delta, columns=[args.id_col, args.text_col])
-                fn = (incremental.ingest_delta_semijoin if args.semijoin
-                      else incremental.ingest_delta)
-                assigned = fn(idx, delta, args.id_col,
-                              args.text_col).materialize()
-                assigned.write_parquet(args.output)
-                stats = {"rows": assigned.count(),
-                         "new_canonicals":
-                             incremental.index_delta(assigned).count(),
-                         "output": args.output}
-                if args.updated_index:
-                    incremental.persist_index(
-                        incremental.load_index(args.index).union(
-                            incremental.index_delta(assigned)),
-                        args.updated_index)
-                    stats["updated_index"] = args.updated_index
-                print(json.dumps(stats))
+                if args.neardup:
+                    bands, sigs = incremental.load_neardup_index(args.index)
+                    assigned = incremental.ingest_delta_neardup(
+                        bands, sigs, delta, TEXT_CFG, args.id_col,
+                        args.text_col, semijoin=args.semijoin).materialize()
+                    assigned.write_parquet(args.output)
+                    nb, ns = incremental.neardup_index_delta(
+                        assigned, delta, TEXT_CFG, args.id_col, args.text_col)
+                    stats = {"rows": assigned.count(),
+                             "new_canonicals": ns.count(),
+                             "output": args.output}
+                    if args.updated_index:
+                        # normalize the minhash list type so the
+                        # parquet-loaded and freshly-signed sides union
+                        norm = incremental._normalize_sigs(TEXT_CFG)
+                        incremental.persist_neardup_index(
+                            bands.union(nb),
+                            sigs.map_batches(norm, batch_format="pyarrow")
+                            .union(ns.map_batches(
+                                norm, batch_format="pyarrow")),
+                            args.updated_index)
+                        stats["updated_index"] = args.updated_index
+                    print(json.dumps(stats))
+                else:
+                    idx = incremental.load_index(args.index)
+                    fn = (incremental.ingest_delta_semijoin if args.semijoin
+                          else incremental.ingest_delta)
+                    assigned = fn(idx, delta, args.id_col,
+                                  args.text_col).materialize()
+                    assigned.write_parquet(args.output)
+                    stats = {"rows": assigned.count(),
+                             "new_canonicals":
+                                 incremental.index_delta(assigned).count(),
+                             "output": args.output}
+                    if args.updated_index:
+                        incremental.persist_index(
+                            incremental.load_index(args.index).union(
+                                incremental.index_delta(assigned)),
+                            args.updated_index)
+                        stats["updated_index"] = args.updated_index
+                    print(json.dumps(stats))
         elif args.cmd == "resumable":
             from hmse_ray.state import checkpoint
 

@@ -111,7 +111,7 @@ def main():
     bf = bloom.Bloom(1 << 22, k=7).add_many(shas)
     rows.append(("Bloom add 200k keys", timeit(lambda: bloom.Bloom(1 << 22, k=7).add_many(shas), sha_mb), float("nan")))
     rows.append(("Bloom probe 200k keys", timeit(lambda: bf.contains_many(shas), sha_mb), float("nan")))
-    rows.append(("HLL registers 200k keys", timeit(lambda: hll.registers32(shas, 12), sha_mb), float("nan")))
+    rows.append(("HLL registers 200k keys", timeit(lambda: hll.registers64(shas, 12), sha_mb), float("nan")))
 
     # Real JFIF codec (r4): encode / decode 96x72 RGB
     jpx = rng.integers(0, 256, (72, 96, 3), dtype=np.uint8)

@@ -10,7 +10,7 @@ import numpy as np
 import pandas as pd
 
 from hmse_ray.functions.bloom import Bloom, hex_words, int_words
-from hmse_ray.functions.hll import estimate, registers32
+from hmse_ray.functions.hll import estimate, registers64
 
 SF = "/root/testdata/sf0.001"
 
@@ -81,34 +81,41 @@ class TestBloom:
         assert (a.bits == b.bits).all()
 
 
-def _rho_scalar(h32: int, p: int) -> int:
-    w = h32 & ((1 << (32 - p)) - 1)
-    return (32 - p) + 1 - w.bit_length()
+def _rho_scalar(h64: int, p: int) -> int:
+    w = h64 & ((1 << (64 - p)) - 1)
+    return (64 - p) + 1 - w.bit_length()
 
 
 class TestHLLKernel:
     def test_registers_match_scalar_reference(self):
         hs = _shas(range(500))
-        for p in (4, 12, 14):
-            j, rho = registers32(hs, p)
+        for p in (12, 14):
+            j, rho = registers64(hs, p)
             for s, jj, rr in zip(hs[:50], j[:50], rho[:50]):
-                h32 = int(s[:8], 16)
-                assert jj == h32 >> (32 - p)
-                assert rr == _rho_scalar(h32, p)
+                h64 = int(s[:16], 16)
+                assert jj == h64 >> (64 - p)
+                assert rr == _rho_scalar(h64, p)
+
+    def test_p_floor_enforced(self):
+        # p < 12 would overflow float64 exactness for the rho word
+        import pytest
+
+        with pytest.raises(ValueError):
+            registers64(_shas(range(4)), 8)
 
     def test_rho_zero_word(self):
-        # craft a hex whose low (32-p) bits are zero: rho = max
+        # craft a hex whose low (64-p) bits are zero: rho = max
         p = 12
-        hx = format(0xABC << 20, "08x") + "0" * 56
-        _, rho = registers32([hx], p)
-        assert rho[0] == (32 - p) + 1
+        hx = format(0xABC << 52, "016x") + "0" * 48
+        _, rho = registers64([hx], p)
+        assert rho[0] == (64 - p) + 1
 
     def test_estimate_accuracy(self):
         # HLL standard error is ~1.04/sqrt(m); with m=4096 that is
         # ~1.6% — allow 5% on a single draw
         for n in (1000, 20000):
             hs = _shas(range(n))
-            j, rho = registers32(hs, 12)
+            j, rho = registers64(hs, 12)
             mx = pd.DataFrame({"j": j, "r": rho}).groupby("j")["r"].max()
             est, zeros = estimate(mx.to_numpy(), 12)
             assert abs(est / n - 1) < 0.05, (n, est)
@@ -116,7 +123,7 @@ class TestHLLKernel:
     def test_merge_associativity(self):
         # register-max merge of two halves == registers of the union
         hs = _shas(range(4000))
-        j, r = registers32(hs, 12)
+        j, r = registers64(hs, 12)
         half = len(hs) // 2
         a = pd.DataFrame({"j": j[:half], "r": r[:half]}).groupby("j")["r"].max()
         b = pd.DataFrame({"j": j[half:], "r": r[half:]}).groupby("j")["r"].max()

@@ -113,14 +113,14 @@ class TestBloomHLLProperties:
         b = Bloom(1 << 12, k=k).add_many(shas)
         assert b.contains_many(shas).all()
 
-    @given(st.integers(0, 2**32 - 1), st.integers(4, 16))
+    @given(st.integers(0, 2**64 - 1), st.integers(12, 20))
     @settings(max_examples=200, deadline=None)
-    def test_hll_register_matches_scalar(self, h32, p):
-        from hmse_ray.functions.hll import registers32
+    def test_hll_register_matches_scalar(self, h64, p):
+        from hmse_ray.functions.hll import registers64
 
-        hx = format(h32, "08x") + "0" * 56
-        j, rho = registers32([hx], p)
-        w = h32 & ((1 << (32 - p)) - 1)
-        assert j[0] == h32 >> (32 - p)
-        assert rho[0] == (32 - p) + 1 - w.bit_length()
-        assert 1 <= rho[0] <= (32 - p) + 1
+        hx = format(h64, "016x") + "0" * 48
+        j, rho = registers64([hx], p)
+        w = h64 & ((1 << (64 - p)) - 1)
+        assert j[0] == h64 >> (64 - p)
+        assert rho[0] == (64 - p) + 1 - w.bit_length()
+        assert 1 <= rho[0] <= (64 - p) + 1

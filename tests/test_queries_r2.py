@@ -344,6 +344,66 @@ class TestCLI:
         assert a2.loc[5, "canonical_id"] == 20 and a2.loc[5, "is_new"] == 0
         assert a2.loc[6, "is_new"] == 1
 
+    def test_ingest_build_from_conflict_errors(self, ray_session, tmp_path):
+        """ADVICE r4: --build-from combined with --delta/--output must
+        refuse instead of silently ignoring the ingest half."""
+        import pytest
+
+        from hmse_ray.run import main
+
+        with pytest.raises(SystemExit):
+            main(["ingest", "--index", str(tmp_path / "i"),
+                  "--build-from", "x.parquet", "--delta", "y.parquet"])
+
+    def test_ingest_neardup_round_trip(self, ray_session, tmp_path, capsys):
+        """--neardup: build band index -> semijoin near-dup ingest ->
+        updated index -> second ingest resolves against the first
+        ingest's inserted canonical (online L4 semantics via CLI)."""
+        import json
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from hmse_ray.run import main
+
+        def long(tag):
+            return " ".join(
+                f"{tag}{i} tok{(i * 7 + len(tag)) % 23}" for i in range(40))
+
+        def write(path, rows):
+            ids, texts = zip(*rows)
+            pq.write_table(pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }), path)
+
+        base_p = str(tmp_path / "base.parquet")
+        d1_p = str(tmp_path / "d1.parquet")
+        d2_p = str(tmp_path / "d2.parquet")
+        write(base_p, [(1, long("alpha")), (2, long("beta"))])
+        write(d1_p, [(20, long("gamma")), (21, long("beta") + " qq")])
+        write(d2_p, [(30, long("gamma") + " qq"), (31, long("nu"))])
+
+        idx0 = str(tmp_path / "ndidx0")
+        assert main(["ingest", "--neardup", "--index", idx0,
+                     "--build-from", base_p]) == 0
+        assert json.loads(capsys.readouterr().out.strip())["entries"] == 2
+
+        out1, idx1 = str(tmp_path / "n1"), str(tmp_path / "ndidx1")
+        assert main(["ingest", "--neardup", "--semijoin", "--index", idx0,
+                     "--delta", d1_p, "--output", out1,
+                     "--updated-index", idx1]) == 0
+        r1 = json.loads(capsys.readouterr().out.strip())
+        assert r1["rows"] == 2 and r1["new_canonicals"] == 1  # 20 new, 21 hit
+
+        out2 = str(tmp_path / "n2")
+        assert main(["ingest", "--neardup", "--index", idx1,
+                     "--delta", d2_p, "--output", out2]) == 0
+        a2 = pq.read_table(out2).to_pandas().set_index("doc_id")
+        # 30 is a near-dup of doc 20, inserted by ingest 1
+        assert a2.loc[30, "canonical_id"] == 20 and a2.loc[30, "is_new"] == 0
+        assert a2.loc[31, "is_new"] == 1
+
 
 class TestCheckpointMarkers:
     def test_phase2_ignores_uncommitted_dirs(self, ray_session, tmp_path):
