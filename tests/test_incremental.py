@@ -315,6 +315,72 @@ class TestNeardupIngest:
         # texts add some legitimate extras; bloom fpp ~0 at 2^20)
         assert 4 * cfg.num_bands <= kept <= len(keys) // 10, (kept, len(keys))
 
+    def test_matches_bruteforce_online_simulation(self, ray_session):
+        """The pipeline's assignment must equal a direct O(n^2)
+        simulation of the reference's online loop (probe bands ->
+        est-verify -> first-writer insert) on a random mixed corpus —
+        a structure-free pin beyond the planted fixtures."""
+        import numpy as np
+
+        import ray.data as rd
+
+        from hmse_ray.functions import minhash as mh_fn
+
+        cfg = _neardup_cfg()
+        rng = np.random.default_rng(20260819)
+        vocab = [f"w{i:03d}" for i in range(300)]
+        base_rows, delta_rows = [], []
+        texts = {}
+
+        def mk(tag):
+            return " ".join(
+                str(vocab[int(rng.integers(300))]) for _ in range(45))
+
+        for i in range(1, 25):
+            t = mk(i)
+            base_rows.append((i, t))
+            texts[i] = t
+        nid = 100
+        for i in range(12):
+            r = rng.random()
+            if r < 0.4:  # near-dup of a random base doc
+                src = int(rng.integers(1, 25))
+                t = texts[src] + " zz"
+            elif r < 0.6 and delta_rows:  # near-dup of an earlier delta doc
+                src, st = delta_rows[int(rng.integers(len(delta_rows)))]
+                t = st + " qq"
+            else:  # novel
+                t = mk(f"d{i}")
+            delta_rows.append((nid, t))
+            texts[nid] = t
+            nid += 1
+
+        # brute-force online simulation with the pipeline's own kernels
+        ids = [i for i, _ in base_rows] + [i for i, _ in delta_rows]
+        sigs = mh_fn.signatures([texts[i].encode() for i in ids], cfg)
+        bands = mh_fn.band_hashes(sigs, cfg)
+        pos = {d: k for k, d in enumerate(ids)}
+        index = [i for i, _ in base_rows]  # online band-table contents
+        expect = {}
+        for d, _ in delta_rows:
+            matches = []
+            for b in index:
+                share = (bands[pos[d]] == bands[pos[b]]).any()
+                est = (sigs[pos[d]] == sigs[pos[b]]).mean()
+                if share and est >= cfg.jaccard_threshold:
+                    matches.append(b)
+            if matches:
+                expect[d] = (min(matches), 0)
+            else:
+                expect[d] = (d, 1)
+                index.append(d)
+
+        bds, sg = incremental.build_neardup_index(_docs(rd, base_rows), cfg)
+        out = _ingest_df(bds, sg, _docs(rd, delta_rows), cfg)
+        for d, (canon, new) in expect.items():
+            assert out.loc[d, "canonical_id"] == canon, (d, expect[d])
+            assert out.loc[d, "is_new"] == new, (d, expect[d])
+
     def test_bucket_cap_smoke(self, ray_session):
         """bucket_cap engages representative probing without losing the
         exact-duplicate hits (dups share every bucket with the min-id
