@@ -112,6 +112,12 @@ def main():
     rows.append(("Bloom add 200k keys", timeit(lambda: bloom.Bloom(1 << 22, k=7).add_many(shas), sha_mb), float("nan")))
     rows.append(("Bloom probe 200k keys", timeit(lambda: bf.contains_many(shas), sha_mb), float("nan")))
     rows.append(("HLL registers 200k keys", timeit(lambda: hll.registers64(shas, 12), sha_mb), float("nan")))
+    # r5: int64-key bloom (LSH bucket semi-join for near-dup ingest)
+    ikeys = (np.arange(200_000, dtype=np.int64) * 0x9E3779B9) - 7
+    ik_mb = ikeys.nbytes / 1e6
+    ibf = bloom.Bloom(1 << 22, k=7).add_many_i64(ikeys)
+    rows.append(("Bloom i64 add 200k buckets", timeit(lambda: bloom.Bloom(1 << 22, k=7).add_many_i64(ikeys), ik_mb), float("nan")))
+    rows.append(("Bloom i64 probe 200k buckets", timeit(lambda: ibf.contains_many_i64(ikeys), ik_mb), float("nan")))
 
     # Real JFIF codec (r4): encode / decode 96x72 RGB
     jpx = rng.integers(0, 256, (72, 96, 3), dtype=np.uint8)
