@@ -492,7 +492,8 @@ def ingest_delta_neardup(index_bands, index_sigs, delta_ds, cfg,
                          id_col: str = "doc_id", text_col: str = "text",
                          semijoin: bool = False, m_bits: int = 1 << 20,
                          k: int = 7, num_partitions: int | None = None,
-                         bucket_cap: int | None = None):
+                         bucket_cap: int | None = None,
+                         return_signed: bool = False):
     """Near-dup-dedup a delta shard against a persisted LSH band index.
 
     Returns (id_col, canonical_id, is_new) for every delta doc — the
@@ -501,13 +502,66 @@ def ingest_delta_neardup(index_bands, index_sigs, delta_ds, cfg,
     before the co-partition shuffle. Output is bit-identical: a false
     positive lets an index row with bucket k through even though no
     delta row carries k, so the per-bucket merge emits no pair for it;
-    false negatives cannot occur, so no candidate is ever lost."""
+    false negatives cannot occur, so no candidate is ever lost.
+
+    ``return_signed=True`` additionally returns the delta's signature
+    dataset (re-ingested ids excluded) so callers appending new
+    canonicals to the index (neardup_index_delta) can filter it instead
+    of paying a second signing pass over the delta.
+    """
     import ray
 
     from hmse_ray.stages import lsh
     from hmse_ray.stages.aggregates import copartition_two
 
     signed = sign_minhash(delta_ds, cfg, id_col, text_col).materialize()
+
+    # Online-rule guard: a delta id ALREADY PRESENT in the persisted
+    # index is already ingested — the reference's online rule never
+    # re-inserts (README.md:1209-1210). Without this guard the id's
+    # signature appears twice in signed_union, every pair group
+    # touching it exceeds verify_pairs' exactly-two-rows shape and is
+    # silently dropped, so the doc (and its true matches) would come
+    # back is_new=1 and corrupt the index with duplicate entries on an
+    # operator retry / re-crawl. Such ids are excluded from probing
+    # entirely and reported (id, canonical=id, is_new=0). Membership =
+    # one column-pruned streaming scan of the index id column against
+    # the broadcast sorted delta id set (the delta is the bounded side
+    # of an ingest by design — same contract as the collect-limit
+    # gate); no shuffle.
+    delta_id_arr = np.sort(
+        signed.select_columns(["image_id"]).to_pandas()["image_id"]
+        .to_numpy().astype(np.int64))
+    _dref = ray.put(delta_id_arr)
+
+    def _index_collisions(t: pa.Table) -> pa.Table:
+        arr = ray.get(_dref)
+        if t.num_rows == 0 or len(arr) == 0:
+            return pa.table({"image_id": pa.array([], pa.int64())})
+        ids = t["image_id"].to_numpy().astype(np.int64)
+        pos = np.minimum(np.searchsorted(arr, ids), len(arr) - 1)
+        return pa.table(
+            {"image_id": pa.array(ids[arr[pos] == ids], pa.int64())})
+
+    _coll = (index_sigs.select_columns(["image_id"])
+             .map_batches(_index_collisions, batch_format="pyarrow")
+             .to_pandas())  # empty-result frames lose their schema
+    dup_ids = (np.unique(_coll["image_id"].to_numpy(np.int64))
+               if len(_coll) else np.array([], np.int64))
+    if dup_ids.size:
+        _dupref = ray.put(dup_ids)
+
+        def _drop_reingested(t: pa.Table) -> pa.Table:
+            arr = ray.get(_dupref)
+            if t.num_rows == 0:
+                return t
+            ids = t["image_id"].to_numpy().astype(np.int64)
+            pos = np.minimum(np.searchsorted(arr, ids), len(arr) - 1)
+            return t.take(np.flatnonzero(arr[pos] != ids))
+
+        signed = signed.map_batches(
+            _drop_reingested, batch_format="pyarrow").materialize()
+
     dbands = band_rows(signed, cfg)
     if semijoin:
         from hmse_ray.functions.bloom import Bloom, build_from_dataset
@@ -578,10 +632,11 @@ def ingest_delta_neardup(index_bands, index_sigs, delta_ds, cfg,
     mids = np.fromiter(canon.keys(), np.int64, len(canon))
     order = np.argsort(mids)
     mref = ray.put((mids[order],
-                    np.fromiter(canon.values(), np.int64, len(canon))[order]))
+                    np.fromiter(canon.values(), np.int64, len(canon))[order],
+                    dup_ids))
 
     def assign(t: pa.Table) -> pa.Table:
-        m_ids, m_canon = ray.get(mref)
+        m_ids, m_canon, dups = ray.get(mref)
         ids = t[id_col].to_numpy()
         if len(m_ids):
             pos = np.minimum(np.searchsorted(m_ids, ids), len(m_ids) - 1)
@@ -590,22 +645,36 @@ def ingest_delta_neardup(index_bands, index_sigs, delta_ds, cfg,
         else:
             hit = np.zeros(len(ids), bool)
             canonical = ids
+        if len(dups):
+            # re-ingested ids: hits on their own indexed entry
+            dpos = np.minimum(np.searchsorted(dups, ids), len(dups) - 1)
+            dhit = dups[dpos] == ids
+            canonical = np.where(dhit, ids, canonical)
+            hit = hit | dhit
         return pa.table({
             id_col: pa.array(ids, pa.int64()),
             "canonical_id": pa.array(canonical, pa.int64()),
             "is_new": pa.array((~hit).astype(np.int64), pa.int64()),
         })
 
-    return delta_ds.select_columns([id_col]).map_batches(
+    assigned = delta_ds.select_columns([id_col]).map_batches(
         assign, batch_format="pyarrow")
+    return (assigned, signed) if return_signed else assigned
 
 
 def neardup_index_delta(assigned_ds, delta_ds, cfg, id_col: str = "doc_id",
-                        text_col: str = "text"):
+                        text_col: str = "text", signed_ds=None):
     """(band rows, signatures) of the NEW canonicals of an ingest — the
     rows to append to the persisted index so the next ingest folds
     (matched docs are never inserted, matching the reference's online
-    rule). New-id collection is delta-bounded (same limit gate)."""
+    rule). New-id collection is delta-bounded (same limit gate).
+
+    ``signed_ds``: the delta's signature dataset from
+    ``ingest_delta_neardup(..., return_signed=True)``. When given, the
+    new canonicals' signatures are FILTERED from it instead of
+    re-signing the new docs — signing is the dominant per-doc cost of
+    the pipeline, so this halves the signing work of an
+    ingest-plus-index-update."""
     import ray
 
     def only_new(t: pa.Table) -> pa.Table:
@@ -631,6 +700,19 @@ def neardup_index_delta(assigned_ds, delta_ds, cfg, id_col: str = "doc_id",
         return rd.from_arrow(empty_bands), rd.from_arrow(empty_sigs)
     new_ids = set(new_tbl.to_pandas()[id_col].to_numpy().tolist())
     ref = ray.put(np.sort(np.fromiter(new_ids, np.int64, len(new_ids))))
+
+    if signed_ds is not None:
+        def pick_sig(t: pa.Table) -> pa.Table:
+            arr = ray.get(ref)
+            if t.num_rows == 0 or len(arr) == 0:
+                return t.take(np.array([], np.int64))
+            ids = t["image_id"].to_numpy().astype(np.int64)
+            pos = np.minimum(np.searchsorted(arr, ids), len(arr) - 1)
+            return t.take(np.flatnonzero(arr[pos] == ids))
+
+        sigs = signed_ds.map_batches(
+            pick_sig, batch_format="pyarrow").materialize()
+        return band_rows(sigs, cfg), sigs
 
     def pick(t: pa.Table) -> pa.Table:
         arr = ray.get(ref)

@@ -1699,7 +1699,17 @@ def decontaminate_docs(sf_dir, n: int = 4, bench_mod: int = 50,
             texts) else []
         return pa.table({"g": pa.array(grams, pa.string())})
 
-    bg_rows = docs.map_batches(bench_grams, batch_format="pyarrow").materialize()
+    from hmse_ray.stages.aggregates import hash_partitioned_groupby_arrow
+
+    # Global distinct BEFORE the broadcast/shuffle decision: bench_grams
+    # dedups only within a batch, so the raw row count scales with block
+    # layout x overlap, not with the distinct gram set the
+    # ``broadcast_limit`` knob documents. One bench-side-bounded shuffle
+    # makes the count (and the broadcast collect) exactly distinct.
+    bg_rows = hash_partitioned_groupby_arrow(
+        docs.map_batches(bench_grams, batch_format="pyarrow"), "g",
+        lambda t: pa.table({"g": pc.unique(_combine_col(t["g"]))}),
+    ).materialize()
     if bg_rows.count() <= broadcast_limit:
         bset = set()
         for row in bg_rows.take_all():
@@ -2283,8 +2293,16 @@ def _doc_clusters_salted(docs, signed, images, threshold: float,
             break
         edges_acc = edges_acc.union(new_edges).materialize()
         stale = True
-    if stale:  # max_rounds exhausted right after adding edges
-        labels = clustering.cluster_from_edges(edges_acc, images, CFG)
+    if stale:
+        # max_rounds exhausted right after adding edges: the final
+        # labels would imply cross-label pairs that were never
+        # exact-verified, silently splitting clusters relative to the
+        # unsalted path / SQL oracle. Fail loudly instead of returning
+        # a divergent answer (the fixture corpora converge in <= 3
+        # rounds; a corpus that needs more gets a bigger max_rounds).
+        raise RuntimeError(
+            f"salted doc_clusters verifier did not reach its fixpoint in "
+            f"max_rounds={max_rounds} seed+refine rounds; raise max_rounds")
     return labels
 
 
@@ -2441,11 +2459,19 @@ def exact_jaccard_pairs(docs, threshold: float = 0.7):
     # stages consume it, and a .materialize() would PIN the full
     # exploded table in the object store for the whole join — at 100 TB
     # the safer shape is spill-to-parquet once, stream back on demand.
+    # Lifecycle: the returned Dataset reads the checkpoint lazily, so it
+    # cannot be deleted here; every checkpoint lives under ONE parent
+    # dir and is rmtree'd at process exit (atexit), so repeated calls
+    # in a long session are bounded by the session, not unbounded
+    # across sessions (the old per-call uuid dirs leaked forever).
+    import atexit
+    import shutil
     import tempfile
     import uuid
 
-    ckpt = os.path.join(
-        tempfile.gettempdir(), f"hmse_shingle_ckpt_{uuid.uuid4().hex}")
+    parent = os.path.join(tempfile.gettempdir(), "hmse_shingle_ckpt")
+    ckpt = os.path.join(parent, uuid.uuid4().hex)
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
     docs.map_batches(shingle_rows, batch_format="pyarrow").write_parquet(ckpt)
     sh_ds = rd.read_parquet(ckpt)
     with_df = hash_partitioned_groupby_arrow(sh_ds, "shingle", df_part)

@@ -179,16 +179,23 @@ def main(argv=None) -> int:
                     args.delta, columns=[args.id_col, args.text_col])
                 if args.neardup:
                     bands, sigs = incremental.load_neardup_index(args.index)
-                    assigned = incremental.ingest_delta_neardup(
+                    assigned, signed = incremental.ingest_delta_neardup(
                         bands, sigs, delta, TEXT_CFG, args.id_col,
-                        args.text_col, semijoin=args.semijoin).materialize()
+                        args.text_col, semijoin=args.semijoin,
+                        return_signed=True)
+                    assigned = assigned.materialize()
                     assigned.write_parquet(args.output)
-                    nb, ns = incremental.neardup_index_delta(
-                        assigned, delta, TEXT_CFG, args.id_col, args.text_col)
+                    # new-canonical count straight off the assignment —
+                    # the index rows (a second pass over the delta) are
+                    # only built when an index update was asked for
                     stats = {"rows": assigned.count(),
-                             "new_canonicals": ns.count(),
+                             "new_canonicals": int(assigned.sum("is_new")
+                                                   or 0),
                              "output": args.output}
                     if args.updated_index:
+                        nb, ns = incremental.neardup_index_delta(
+                            assigned, delta, TEXT_CFG, args.id_col,
+                            args.text_col, signed_ds=signed)
                         # normalize the minhash list type so the
                         # parquet-loaded and freshly-signed sides union
                         norm = incremental._normalize_sigs(TEXT_CFG)

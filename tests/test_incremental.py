@@ -219,6 +219,67 @@ class TestNeardupIngest:
         nb, ns = incremental.neardup_index_delta(a1, d1, cfg)
         assert nb.count() == 0 and ns.count() == 0  # nothing new -> no insert
 
+    def test_reingest_same_id_is_idempotent(self, ray_session):
+        """A delta id already in the index (re-crawl / operator retry)
+        must come back (id, canonical=id, is_new=0) — and must NOT
+        poison the pair groups of other delta docs matching it: before
+        the guard, the duplicated signature made every group touching
+        the id exceed verify_pairs' two-row shape and the matches were
+        silently dropped (is_new=1, duplicate index append)."""
+        import ray.data as rd
+
+        cfg = _neardup_cfg()
+        base = _docs(rd, [(1, _long("alpha")), (2, _long("beta"))])
+        bands, sigs = incremental.build_neardup_index(base, cfg)
+        delta = _docs(rd, [
+            (2, _long("beta")),            # ALREADY INDEXED id
+            (12, _long("beta") + " qq"),   # near-dup of doc 2 -> must hit
+            (13, _long("rho")),            # novel -> new
+        ])
+        out, signed = incremental.ingest_delta_neardup(
+            bands, sigs, delta, cfg, return_signed=True)
+        df = out.to_pandas().set_index("doc_id").sort_index()
+        assert df.loc[2, "canonical_id"] == 2 and df.loc[2, "is_new"] == 0
+        assert df.loc[12, "canonical_id"] == 2 and df.loc[12, "is_new"] == 0
+        assert df.loc[13, "canonical_id"] == 13 and df.loc[13, "is_new"] == 1
+        # the re-ingested id never re-enters the index (no duplicates)
+        nb, ns = incremental.neardup_index_delta(out, delta, cfg)
+        got = sorted(ns.to_pandas()["image_id"].astype(int).tolist())
+        assert got == [13], got
+        # signed excludes the re-ingested id (safe to filter for append)
+        sids = sorted(signed.to_pandas()["image_id"].astype(int).tolist())
+        assert sids == [12, 13], sids
+
+    def test_index_delta_reuses_signed(self, ray_session):
+        """neardup_index_delta(signed_ds=...) must produce the same
+        index rows as the re-signing path, without a second signing
+        pass over the delta."""
+        import ray.data as rd
+
+        cfg = _neardup_cfg()
+        base = _docs(rd, [(1, _long("alpha")), (2, _long("beta"))])
+        bands, sigs = incremental.build_neardup_index(base, cfg)
+        delta = _docs(rd, [(10, _long("beta") + " qq"),  # hit -> not inserted
+                           (11, _long("tau")),            # new
+                           (12, _long("ups"))])           # new
+        out, signed = incremental.ingest_delta_neardup(
+            bands, sigs, delta, cfg, return_signed=True)
+        out = out.materialize()
+        nb1, ns1 = incremental.neardup_index_delta(out, delta, cfg)
+        nb2, ns2 = incremental.neardup_index_delta(
+            out, delta, cfg, signed_ds=signed)
+        norm = incremental._normalize_sigs(cfg)
+        p1 = (ns1.map_batches(norm, batch_format="pyarrow").to_pandas()
+              .sort_values("image_id").reset_index(drop=True))
+        p2 = (ns2.map_batches(norm, batch_format="pyarrow").to_pandas()
+              .sort_values("image_id").reset_index(drop=True))
+        assert p1.equals(p2)
+        b1 = (nb1.to_pandas().sort_values(["image_id", "bucket"])
+              .reset_index(drop=True))
+        b2 = (nb2.to_pandas().sort_values(["image_id", "bucket"])
+              .reset_index(drop=True))
+        assert b1.equals(b2)
+
     def test_fold_equivalence(self, ray_session):
         """ingest(D1) then ingest(D2) against the appended index ==
         ingest(D1 ∪ D2) in one shot (ids(D1) < ids(D2)) — the property
