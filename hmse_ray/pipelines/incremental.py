@@ -413,10 +413,14 @@ def _bucket_pairs_kernel(cap: int | None):
 
 
 def _add_pairkey(a_col, b_col) -> pa.Array:
+    # length-prefixed so ids containing "|" can't alias two distinct
+    # pairs onto one key (aggregates.pack_pair_key, oriented here)
     s1 = a_col.to_pandas()
     s2 = b_col.to_pandas()
-    return pa.array(np.where((s1 < s2).to_numpy(), s1 + "|" + s2, s2 + "|" + s1),
-                    pa.string())
+    swap = (s2 < s1).to_numpy()
+    lo = pd.Series(np.where(swap, s2, s1))
+    hi = pd.Series(np.where(swap, s1, s2))
+    return pa.array(lo.str.len().astype(str) + "|" + lo + "|" + hi, pa.string())
 
 
 _TAG_SCHEMA = pa.schema([

@@ -72,6 +72,14 @@ def hash_partitioned_groupby(ds, key_cols: list[str], apply_fn,
             else:
                 v = pd.util.hash_array(col.to_numpy()).astype(np.uint64)
             h = h * np.uint64(0x9E3779B97F4A7C15) + v
+        # final avalanche (fmix64 core): raw int keys would otherwise
+        # partition as value % P, collapsing congruent/strided key sets
+        # (all multiples of P, strided window ids) onto one partition —
+        # one reducer then holds the whole dataset. The arrow variant
+        # already mixes in _part_of.
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
         df = df.copy()
         df["_part"] = (h % np.uint64(num_partitions)).astype(np.int64)
         return df
@@ -182,8 +190,6 @@ def gather_lookup(members: pa.Table, member_key: str,
     original rows). pandas raises loudly on duplicates rather than
     silently picking one."""
     if members.num_rows == 0 or lookup.num_rows == 0:
-        cols = list(members.columns)
-        out_names = list(members.column_names)
         empty = members.take(np.array([], np.int64))
         for src, dst in take_cols.items():
             empty = empty.append_column(dst, pa.nulls(0, lookup.schema.field(src).type))
@@ -201,6 +207,17 @@ def gather_lookup(members: pa.Table, member_key: str,
     return out
 
 
+def pack_pair_key(a, b):
+    """Collision-free string key for an (already-oriented) id pair:
+    ``len(a) "|" a "|" b``. A bare ``a+"|"+b`` key is ambiguous when
+    ids themselves contain "|" — ('a|c','b') and ('a','c|b') both pack
+    to 'a|c|b', which lets a group aggregate fabricate a pair out of
+    mixed minima. The decimal length prefix (digits can't contain the
+    separator) makes the encoding uniquely decodable for ANY ids."""
+    la = pc.cast(pc.utf8_length(a), pa.string())
+    return pc.binary_join_element_wise(la, a, b, "|")
+
+
 def distinct_pairs(ds, id_a: str = "id_a", id_b: str = "id_b",
                    val_col: str | None = None,
                    num_partitions: int | None = None,
@@ -211,7 +228,7 @@ def distinct_pairs(ds, id_a: str = "id_a", id_b: str = "id_b",
     distinct pair)."""
 
     def pack(t: pa.Table) -> pa.Table:
-        k = pc.binary_join_element_wise(t[id_a], t[id_b], "|")
+        k = pack_pair_key(t[id_a], t[id_b])
         if isinstance(k, pa.ChunkedArray):
             k = k.combine_chunks()
         return t.append_column("pairkey", k)

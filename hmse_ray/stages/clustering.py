@@ -38,7 +38,9 @@ import pyarrow.compute as pc
 import ray
 
 from hmse_ray.config import Config, DEFAULT_CONFIG
-from hmse_ray.stages.aggregates import distinct_pairs, hash_partitioned_groupby_arrow
+from hmse_ray.stages.aggregates import (distinct_pairs,
+                                         hash_partitioned_groupby_arrow,
+                                         pack_pair_key)
 
 # Above this many candidate edges, switch to the distributed CC path.
 # Driver union-find at ~100 B/edge: 5e7 edges ~= 5 GB driver heap.
@@ -193,7 +195,7 @@ def _edge_checksum(ds):
     def h(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pa.table({"h": pa.array([0], pa.int64()), "n": pa.array([0], pa.int64())})
-        k = _combine(pc.binary_join_element_wise(t["src"], t["dst"], "|"))
+        k = _combine(pack_pair_key(t["src"], t["dst"]))
         vals = pd.util.hash_array(k.to_numpy(zero_copy_only=False)).astype(np.uint64)
         tot = int(vals.sum(dtype=np.uint64).view(np.int64))
         return pa.table(
@@ -324,16 +326,12 @@ def cluster_from_edges(edges_ds, images_ds, cfg: Config = DEFAULT_CONFIG,
     # distributed path: CC labels for edge-bearing nodes, then a
     # left-outer fill for singletons — tasks-only co-partition shuffle
     # on image_id (not Dataset.join; see aggregates.copartition_two)
-    import numpy as np
-
     from hmse_ray.stages.aggregates import copartition_two
 
     lbl = components_distributed(edges_ds)
     schema = pa.schema([("image_id", pa.string()), ("cluster_id", pa.string())])
 
     def merge(left: pa.Table, right: pa.Table) -> pa.Table:
-        import pandas as pd
-
         ids = _combine(left["image_id"])
         if right.num_rows == 0 or left.num_rows == 0:
             return pa.table({"image_id": ids, "cluster_id": ids})

@@ -59,7 +59,9 @@ import ray
 
 from hmse_ray.config import Config, DEFAULT_CONFIG
 from hmse_ray.functions import simhash
-from hmse_ray.stages.aggregates import distinct_pairs, hash_partitioned_groupby_arrow
+from hmse_ray.stages.aggregates import (distinct_pairs,
+                                         hash_partitioned_groupby_arrow,
+                                         pack_pair_key)
 
 # distinct multipliers mix band_id into the 64-bit bucket key space;
 # collisions across bands are ~2^-64 and only cost a false candidate
@@ -132,17 +134,29 @@ def band_explode(sig_batch: pa.Table, cfg: Config,
     for band in range(b):
         bh = sig_batch[f"band_h{band}"].to_numpy().view(np.uint64)
         raw[band] = bh * _BAND_MIX + np.uint64(band)
+    return _exploded_bucket_table(raw, ids, hot, num_salts)
+
+
+def _exploded_bucket_table(raw: np.ndarray, ids: pa.Array,
+                           hot: tuple[np.ndarray, np.ndarray] | None,
+                           num_salts: int) -> pa.Table:
+    """(nb, n) raw band buckets + ids -> narrow exploded table
+    (image_id, bucket[, parent]) with uniform or per-hot-bucket
+    salting — the ONE implementation of the salt/parent scheme, shared
+    by the minhash and simhash explodes (a fix to e.g. the hot-lookup
+    searchsorted boundary must not have to land in two places)."""
+    nb, n = raw.shape
     salted = num_salts > 1 or (hot is not None and len(hot[0]) > 0)
-    cols: dict = {"image_id": pa.concat_arrays([ids] * b)}
+    cols: dict = {"image_id": pa.concat_arrays([ids] * nb)}
     if not salted:
         cols["bucket"] = pa.array(raw.ravel().view(np.int64), pa.int64())
         return pa.table(cols)
     if num_salts > 1:
-        S = np.full((b, n), num_salts, dtype=np.uint64)
+        S = np.full((nb, n), num_salts, dtype=np.uint64)
     else:
         hot_keys, hot_salts = hot
-        S = np.ones((b, n), dtype=np.uint64)
-        for band in range(b):
+        S = np.ones((nb, n), dtype=np.uint64)
+        for band in range(nb):
             pos = np.searchsorted(hot_keys, raw[band])
             pos_c = np.minimum(pos, len(hot_keys) - 1)
             m = hot_keys[pos_c] == raw[band]
@@ -175,28 +189,7 @@ def simhash_band_explode(sim_batch: pa.Table, cfg: Config,
     raw = np.empty((nb, n), dtype=np.uint64)
     for band in range(nb):
         raw[band] = bands[:, band] * _SIMHASH_MIX + np.uint64(band + 1000)
-    salted = num_salts > 1 or (hot is not None and len(hot[0]) > 0)
-    cols: dict = {"image_id": pa.concat_arrays([ids] * nb)}
-    if not salted:
-        cols["bucket"] = pa.array(raw.ravel().view(np.int64), pa.int64())
-        return pa.table(cols)
-    if num_salts > 1:
-        S = np.full((nb, n), num_salts, dtype=np.uint64)
-    else:
-        hot_keys, hot_salts = hot
-        S = np.ones((nb, n), dtype=np.uint64)
-        for band in range(nb):
-            pos = np.searchsorted(hot_keys, raw[band])
-            pos_c = np.minimum(pos, len(hot_keys) - 1)
-            m = hot_keys[pos_c] == raw[band]
-            S[band][m] = hot_salts[pos_c[m]]
-    idh = _id_hash(ids)
-    salt = idh[None, :] % S
-    child = raw + salt * _SALT_MIX
-    unsalted = (S == 1).ravel()
-    cols["bucket"] = pa.array(child.ravel().view(np.int64), pa.int64())
-    cols["parent"] = pa.array(raw.ravel().view(np.int64), pa.int64(), mask=unsalted)
-    return pa.table(cols)
+    return _exploded_bucket_table(raw, ids, hot, num_salts)
 
 
 # ------------------------------------------------------- hot-bucket detection
@@ -317,9 +310,21 @@ def _group_sizes(starts: np.ndarray, n: int) -> np.ndarray:
 
 def _maybe_idh(ids: pa.Array, sizes: np.ndarray, cap: int | None):
     """(idh, cap) for the split helper — idh computed only when some
-    group actually exceeds cap (keeps the common path hash-free)."""
+    group actually exceeds cap (keeps the common path hash-free).
+
+    The hash is avalanched (fmix64 core) before use: pre-shuffle
+    salting partitions a hot bucket by RAW _id_hash %% S (band_explode),
+    so inside one pre-salted sub-bucket every idh is congruent mod S —
+    a local split by the same raw hash %% ns is then CONSTANT whenever
+    ns shares a factor with S, the over-cap group never splits, and
+    one reducer pays unbounded C(m,2). Mixing makes the local salt
+    independent of any residue class of the raw hash."""
     if cap is not None and bool((sizes > cap).any()):
-        return _id_hash(ids), cap
+        h = _id_hash(ids)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        return h, cap
     return None, None
 
 
@@ -378,35 +383,41 @@ def _allpairs_partition(t: pa.Table, cap: int | None = None) -> pa.Table:
     sizes = _group_sizes(starts, n)
     idh, cap_eff = _maybe_idh(ids, sizes, cap)
     ia, ib = [], []
-    for s, m in zip(starts, sizes):
-        if m < 2:
-            continue
-        if cap_eff is not None and m > cap_eff:
-            g = np.arange(s, s + m)
-            ns = -(-int(m) // cap_eff)
-            salts = idh[g] % np.uint64(ns)
-            order = np.argsort(salts, kind="stable")
-            gs, ss = g[order], salts[order]
-            newg = np.empty(int(m), dtype=bool)
-            newg[0] = True
-            newg[1:] = ss[1:] != ss[:-1]
-            sub_starts = np.append(np.nonzero(newg)[0], int(m))
-            for a0, a1 in zip(sub_starts[:-1], sub_starts[1:]):
-                k = int(a1 - a0)
-                if k < 2:
-                    continue
-                iu, ju = np.triu_indices(k, 1)
-                ia.append(gs[a0 + iu])
-                ib.append(gs[a0 + ju])
-            reps = gs[newg[: int(m)]]
-            link = reps[reps != g[0]]
-            if link.size:
-                ia.append(np.full(link.size, g[0], dtype=np.int64))
-                ib.append(link)
-            continue
+    # normal (not-over-cap) groups, vectorized BY SIZE CLASS: one
+    # triu_indices per distinct size, broadcast over all that size's
+    # group starts — no per-group Python for the overwhelmingly common
+    # small buckets (sizes are bounded by cap, so few distinct classes)
+    over = sizes > cap_eff if cap_eff is not None else np.zeros(
+        len(starts), dtype=bool)
+    norm = ~over & (sizes >= 2)
+    for m in np.unique(sizes[norm]):
+        gs = starts[norm & (sizes == m)]
         iu, ju = np.triu_indices(int(m), 1)
-        ia.append(s + iu)
-        ib.append(s + ju)
+        ia.append((gs[:, None] + iu[None, :]).ravel())
+        ib.append((gs[:, None] + ju[None, :]).ravel())
+    for gi in np.nonzero(over)[0]:
+        s, m = int(starts[gi]), int(sizes[gi])
+        g = np.arange(s, s + m)
+        ns = -(-m // cap_eff)
+        salts = idh[g] % np.uint64(ns)
+        order = np.argsort(salts, kind="stable")
+        gs, ss = g[order], salts[order]
+        newg = np.empty(m, dtype=bool)
+        newg[0] = True
+        newg[1:] = ss[1:] != ss[:-1]
+        sub_starts = np.append(np.nonzero(newg)[0], m)
+        for a0, a1 in zip(sub_starts[:-1], sub_starts[1:]):
+            k = int(a1 - a0)
+            if k < 2:
+                continue
+            iu, ju = np.triu_indices(k, 1)
+            ia.append(gs[a0 + iu])
+            ib.append(gs[a0 + ju])
+        reps = gs[newg]
+        link = reps[reps != g[0]]
+        if link.size:
+            ia.append(np.full(link.size, g[0], dtype=np.int64))
+            ib.append(link)
     if ia:
         cat = np.concatenate(ia)
         id_a = ids.take(pa.array(cat, pa.int64()))
@@ -618,7 +629,7 @@ def verify_pairs(pairs_ds, signed_ds, cfg: Config = DEFAULT_CONFIG):
         )
 
     def half_edges(t: pa.Table) -> pa.Table:
-        key = _combine(pc.binary_join_element_wise(t["id_a"], t["id_b"], "|"))
+        key = _combine(pack_pair_key(t["id_a"], t["id_b"]))
         n = t.num_rows
         return pa.table(
             {
@@ -705,15 +716,11 @@ def candidate_edges(signed, cfg: Config = DEFAULT_CONFIG,
     base_fn = _star_ids_partition if edge_shape == "star" else _allpairs_partition
     part_fn = lambda t: base_fn(t, cap=cap)  # noqa: E731
 
-    if hot is not None:
-        hot_ref = ray.put(hot)
+    hot_ref = ray.put(hot) if hot is not None else None
 
-        def explode(t: pa.Table) -> pa.Table:
-            return band_explode(t, cfg, hot=ray.get(hot_ref), num_salts=ns)
-    else:
-
-        def explode(t: pa.Table) -> pa.Table:
-            return band_explode(t, cfg, num_salts=ns)
+    def explode(t: pa.Table) -> pa.Table:
+        h = ray.get(hot_ref) if hot_ref is not None else None
+        return band_explode(t, cfg, hot=h, num_salts=ns)
 
     bands = narrow.map_batches(explode, batch_format="pyarrow")
     est_bytes = n_rows * cfg.num_bands * _BAND_ROW_BYTES
@@ -721,6 +728,11 @@ def candidate_edges(signed, cfg: Config = DEFAULT_CONFIG,
         bands, "bucket", part_fn, est_bytes=est_bytes
     )
     if hot is not None or ns > 1:
+        # two consumers (edges filter + rep-link) — without a
+        # materialize Ray Data executes the whole explode+bucket
+        # shuffle (the pipeline's biggest) once PER consumer; the
+        # pinned mixed table is edges+reps, far smaller than the input
+        mixed = mixed.materialize()
         edges = mixed.map_batches(
             lambda t: t.filter(pc.not_equal(t["id_b"], "")).select(["id_a", "id_b"]),
             batch_format="pyarrow",
@@ -850,27 +862,17 @@ def simhash_candidate_pairs(simhash_ds, cfg: Config = DEFAULT_CONFIG,
     elif num_salts > 1:
         ns = num_salts
 
-    if hot is not None:
-        hot_ref = ray.put(hot)
+    hot_ref = ray.put(hot) if hot is not None else None
 
-        def explode(t: pa.Table) -> pa.Table:
-            out = simhash_band_explode(t, cfg, hot=ray.get(hot_ref), num_salts=ns)
-            nb = out.num_rows // max(1, t.num_rows)
-            if t.num_rows == 0:
-                return out.append_column("simhash", pa.array([], pa.int64()))
-            return out.append_column(
-                "simhash", pa.concat_arrays([_combine(t["simhash"])] * nb)
-            )
-    else:
-
-        def explode(t: pa.Table) -> pa.Table:
-            out = simhash_band_explode(t, cfg, num_salts=ns)
-            nb = out.num_rows // max(1, t.num_rows)
-            if t.num_rows == 0:
-                return out.append_column("simhash", pa.array([], pa.int64()))
-            return out.append_column(
-                "simhash", pa.concat_arrays([_combine(t["simhash"])] * nb)
-            )
+    def explode(t: pa.Table) -> pa.Table:
+        h = ray.get(hot_ref) if hot_ref is not None else None
+        out = simhash_band_explode(t, cfg, hot=h, num_salts=ns)
+        if t.num_rows == 0:
+            return out.append_column("simhash", pa.array([], pa.int64()))
+        nb = out.num_rows // t.num_rows
+        return out.append_column(
+            "simhash", pa.concat_arrays([_combine(t["simhash"])] * nb)
+        )
 
     bands = sims.select_columns(["image_id", "simhash"]).map_batches(
         explode, batch_format="pyarrow"
@@ -881,6 +883,7 @@ def simhash_candidate_pairs(simhash_ds, cfg: Config = DEFAULT_CONFIG,
         est_bytes=est_bytes,
     )
     if hot is not None or ns > 1:
+        mixed = mixed.materialize()  # two consumers: see candidate_edges
         edges = mixed.map_batches(
             lambda t: t.filter(pc.not_equal(t["id_b"], "")).select(
                 ["id_a", "id_b", "jaccard_est"]
