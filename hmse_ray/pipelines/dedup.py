@@ -47,13 +47,9 @@ def read_images(path_or_table, columns=None, num_blocks: int | None = None):
                 "use parquet"
             ) from e
     if num_blocks is None:
-        import ray
+        from hmse_ray.util import cluster_cpus
 
-        try:
-            cpus = int(ray.cluster_resources().get("CPU", 8))
-        except Exception:
-            cpus = 8
-        num_blocks = 8 * cpus
+        num_blocks = 8 * cluster_cpus()
     return rd.read_parquet(path_or_table, columns=columns, override_num_blocks=num_blocks)
 
 
@@ -291,7 +287,7 @@ def ablation_run(images, cfg: Config = DEFAULT_CONFIG):
     out = {}
     if cfg.enable_l1:
         def l1(batch: pa.Table) -> pa.Table:
-            caps = [c.encode() for c in batch["caption"].to_pylist()]
+            caps = [(c or "").encode() for c in batch["caption"].to_pylist()]
             comp = [compress_fn.compress_record(c, cfg) for c in caps]
             return pa.table(
                 {
@@ -316,7 +312,8 @@ def ablation_run(images, cfg: Config = DEFAULT_CONFIG):
             import hashlib
 
             def whole(batch: pa.Table) -> pa.Table:
-                caps = [c.encode() for c in batch["caption"].to_pylist()]
+                caps = [(c or "").encode()
+                        for c in batch["caption"].to_pylist()]
                 return pa.table(
                     {
                         "image_id": batch["image_id"],

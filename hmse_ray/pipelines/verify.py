@@ -27,14 +27,20 @@ def _reconstruct_batch(batch: pa.Table, cfg: Config) -> pa.Table:
     cpayloads = batch["canon_payload"].to_pylist()
     cenvs = batch["canon_env"].to_pylist()
     out = []
+    # FULL rows never touch the canonical payload, and members of one
+    # cluster share it — decompress each distinct canonical once per
+    # batch instead of once per member row (cache is bounded by the
+    # partition's distinct canonicals, each a caption-sized bytes)
+    base_cache: dict[bytes, bytes] = {}
     for kind, pl, env, cpl, cenv in zip(kinds, payloads, envs, cpayloads, cenvs):
-        base = compress.decompress_record(cpl, cenv)
-        if kind == delta.KIND_POINTER:
-            out.append(base)
-        elif kind == delta.KIND_DELTA:
-            out.append(delta.delta_apply(base, pl))
-        else:
+        if kind != delta.KIND_POINTER and kind != delta.KIND_DELTA:
             out.append(compress.decompress_record(pl, env))
+            continue
+        base = base_cache.get(cpl)
+        if base is None:
+            base = base_cache[cpl] = compress.decompress_record(cpl, cenv)
+        out.append(base if kind == delta.KIND_POINTER
+                   else delta.delta_apply(base, pl))
     return pa.table(
         {
             "image_id": batch["image_id"],
@@ -68,7 +74,9 @@ def _attach_canon_payloads(t: pa.Table) -> pa.Table:
     )
 
 
-def reconstruct(store_ds, cfg: Config = DEFAULT_CONFIG, num_partitions: int | None = None):
+def reconstruct(store_ds, cfg: Config = DEFAULT_CONFIG,
+                num_partitions: int | None = None,
+                est_bytes: int | None = None):
     """store table -> (image_id, caption_restored, restored image bytes).
 
     One tasks-only hash-partition shuffle on cluster_id (canonical rows
@@ -81,14 +89,20 @@ def reconstruct(store_ds, cfg: Config = DEFAULT_CONFIG, num_partitions: int | No
     return hash_partitioned_groupby_arrow(
         store_ds, "cluster_id",
         lambda t: _reconstruct_batch(_attach_canon_payloads(t), cfg),
-        num_partitions=num_partitions,
+        num_partitions=num_partitions, est_bytes=est_bytes,
     )
 
 
-def _check_batch(batch: pa.Table, cfg: Config) -> pa.Table:
+def _check_batch(batch: pa.Table, cfg: Config,
+                 n_missing: int = 0) -> pa.Table:
     """Per-row invariant over merged (restored x original) rows -> one
     stats row: n_rows, caption_pass, pixel_pass, min_psnr (inf -> 1e9
-    sentinel for finite aggregation).
+    sentinel for finite aggregation), n_missing.
+
+    ``n_missing`` counts rows DROPPED by the inner merge (an original
+    with no restored row, or vice versa): without it a verifier whose
+    join loses records still reports caption_pass == n_rows — 100%% pass
+    over a shrunken universe. Callers must gate on n_missing == 0 too.
 
     The caption half is a vectorized arrow equality (VERDICT r3 item 6);
     the remaining per-row loop is only decode + PSNR (inherently
@@ -110,6 +124,13 @@ def _check_batch(batch: pa.Table, cfg: Config) -> pa.Table:
     pix_ok = 0
     min_psnr = float("inf")
     for fmt, w, h, stored, orig in zip(fmts, ws, hs, stored_col, orig_col):
+        if stored == orig:
+            # byte-equal implies pixel-equal under a deterministic
+            # decoder (psnr inf, never lowers min) — skip the two
+            # decodes that otherwise dominate the verify stage; the
+            # decode path below still runs for every differing payload
+            pix_ok += 1
+            continue
         orig_px = imagecodec.decode(orig, w, h, fmt)
         got_px = imagecodec.decode(stored, w, h, fmt)
         if imagecodec.is_lossless(fmt):
@@ -126,6 +147,7 @@ def _check_batch(batch: pa.Table, cfg: Config) -> pa.Table:
             "caption_pass": pa.array([cap_ok], pa.int64()),
             "pixel_pass": pa.array([pix_ok], pa.int64()),
             "min_psnr": pa.array([min(min_psnr, 1e9)], pa.float64()),
+            "n_missing": pa.array([int(n_missing)], pa.int64()),
         }
     )
 
@@ -138,6 +160,7 @@ def _aggregate_stats(parts_ds):
         Sum("caption_pass", alias_name="caption_pass"),
         Sum("pixel_pass", alias_name="pixel_pass"),
         Min("min_psnr", alias_name="min_psnr"),
+        Sum("n_missing", alias_name="n_missing"),
     )
 
 
@@ -172,7 +195,10 @@ def verify_invariant(restored_ds, images_ds, cfg: Config = DEFAULT_CONFIG,
             right, "image_id",
             {"caption_orig": "caption_orig", "bytes_orig": "bytes_orig"},
         )
-        return _check_batch(merged, cfg)
+        # ids are unique per side, so the inner merge keeps |L n R| rows;
+        # anything else is a lost record the verifier must surface
+        miss = left.num_rows + right.num_rows - 2 * merged.num_rows
+        return _check_batch(merged, cfg, n_missing=miss)
 
     parts = copartition_two(
         restored_ds, orig, "image_id", RESTORED_SCHEMA, merge,
@@ -182,7 +208,8 @@ def verify_invariant(restored_ds, images_ds, cfg: Config = DEFAULT_CONFIG,
 
 
 def roundtrip(images_ds, clusters_ds, cfg: Config = DEFAULT_CONFIG,
-              num_partitions: int | None = None):
+              num_partitions: int | None = None,
+              est_bytes: int | None = None):
     """Full encode -> store -> reconstruct -> verify loop; returns the
     aggregate invariant dict.
 
@@ -200,7 +227,8 @@ def roundtrip(images_ds, clusters_ds, cfg: Config = DEFAULT_CONFIG,
         hash_partitioned_groupby_arrow,
     )
 
-    members = store_stage.attach_clusters(images_ds, clusters_ds, num_partitions)
+    members = store_stage.attach_clusters(
+        images_ds, clusters_ds, num_partitions, est_bytes=est_bytes)
 
     def per_cluster_partition(t: pa.Table) -> pa.Table:
         st = store_stage.encode_partition(t, cfg)
@@ -210,10 +238,11 @@ def roundtrip(images_ds, clusters_ds, cfg: Config = DEFAULT_CONFIG,
             t.select(["image_id", "caption", "bytes"]), "image_id",
             {"caption": "caption_orig", "bytes": "bytes_orig"},
         )
-        return _check_batch(merged, cfg)
+        miss = rec.num_rows + t.num_rows - 2 * merged.num_rows
+        return _check_batch(merged, cfg, n_missing=miss)
 
     parts = hash_partitioned_groupby_arrow(
         members, "cluster_id", per_cluster_partition,
-        num_partitions=num_partitions,
+        num_partitions=num_partitions, est_bytes=est_bytes,
     )
     return _aggregate_stats(parts)

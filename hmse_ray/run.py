@@ -113,13 +113,9 @@ def main(argv=None) -> int:
         else:
             ray.init(address="local", num_cpus=args.num_cpus,
                      include_dashboard=False, logging_level="ERROR")
-        from hmse_ray.util import tune_data_context
+        from hmse_ray.util import cluster_cpus, tune_data_context
 
-        try:
-            cpus = int(ray.cluster_resources().get("CPU", args.num_cpus))
-        except Exception:
-            cpus = args.num_cpus
-        tune_data_context(cpus)
+        tune_data_context(cluster_cpus(args.num_cpus))
     try:
         from hmse_ray.config import DEFAULT_CONFIG as cfg
         from hmse_ray.pipelines import dedup
@@ -235,10 +231,17 @@ def main(argv=None) -> int:
         elif args.cmd == "verify":
             from hmse_ray.pipelines import verify
 
+            import glob
+
             clusters = dedup.cluster_assignments(args.input, cfg)
-            inv = verify.roundtrip(dedup.read_images(args.input), clusters, cfg)
+            payload_b = sum(
+                os.path.getsize(f)
+                for f in glob.glob(os.path.join(args.input, "**", "*.parquet"),
+                                   recursive=True)) or None
+            inv = verify.roundtrip(dedup.read_images(args.input), clusters,
+                                   cfg, est_bytes=payload_b)
             print(json.dumps(inv, default=str))
-            if inv["caption_pass"] != inv["n_rows"]:
+            if inv["caption_pass"] != inv["n_rows"] or inv.get("n_missing"):
                 return 1
     finally:
         if owns_session:

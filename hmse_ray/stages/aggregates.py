@@ -29,13 +29,9 @@ def _resolve_partitions(num_partitions: int | None,
                         est_bytes: int | None = None) -> int:
     if num_partitions is not None:
         return num_partitions
-    import ray
+    from hmse_ray.util import cluster_cpus
 
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
-    floor = max(8, 2 * cpus)
+    floor = max(8, 2 * cluster_cpus())
     if est_bytes:
         return max(floor, int(est_bytes // TARGET_PARTITION_BYTES))
     return floor

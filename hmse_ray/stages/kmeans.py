@@ -68,7 +68,11 @@ PLANT_AMP = 8  # per-coord perturbation in {-8..8}: cos ~ 0.9993
 #   dup iff dot > 0 and T_DEN * dot^2 >= T_NUM * |a|^2 * |b|^2
 T_NUM = 81
 T_DEN = 100
-_STRIP_ELEMS = 1 << 25  # ~256 MB of int64 per dot strip
+# sized so the strip's PEAK allocation (G reused in place + the rhs
+# outer product + two boolean masks ~ 18 B/elem) stays ~300 MB per
+# task; the old 1<<25 bounded only G itself while the threshold
+# expression held ~4 strip-sized temporaries concurrently (~1 GB peak)
+_STRIP_ELEMS = 1 << 24
 
 
 def _matrix(col) -> np.ndarray:
@@ -168,6 +172,11 @@ def lloyd(emb_ds, k: int = K, iters: int = ITERS, seed: int = INIT_SEED,
     (k*dim int64s). Centroids ride into the next pass as a tiny task
     closure; no shuffle, no materialization."""
     C = init_centroids(emb_ds, k, seed, plant=plant)
+    if C.shape[0] == 0:
+        raise ValueError("lloyd: empty embedding dataset")
+    # short init (fewer points than k): run with the k we actually have
+    # instead of crashing on a k-length mask over a shorter array
+    k = C.shape[0]
     dim = C.shape[1]
     for _ in range(iters):
         Cb = C  # capture by value for the pass
@@ -255,7 +264,10 @@ def semantic_flags(ids: np.ndarray, d2: np.ndarray, Q: np.ndarray,
     for u0 in range(0, m, strip):
         u1 = min(u0 + strip, m)
         G = Qo[u0:u1] @ Qo.T  # (strip, m) int64
-        ok = (G > 0) & (t_den * G * G >= t_num * n2[u0:u1, None] * n2[None, :])
+        ok = G > 0
+        np.multiply(G, G, out=G)  # dot^2 (in place; bounds in docstring)
+        G *= t_den
+        ok &= G >= t_num * n2[u0:u1, None] * n2[None, :]
         # u must rank strictly before v
         ok &= np.arange(u0, u1)[:, None] < np.arange(m)[None, :]
         ok[:, found] = False  # earliest strip already answered those v

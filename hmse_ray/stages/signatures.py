@@ -85,12 +85,9 @@ class SimHashSigner:
 
 
 def _default_pool() -> tuple[int, int]:
-    import ray
+    from hmse_ray.util import cluster_cpus
 
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
+    cpus = cluster_cpus()
     # The two signer chains run SEQUENTIALLY in the flagship (the tiny
     # pair table is materialized between them), so each pool may take
     # the whole cluster. min=cpus/2 skips the slow autoscaler ramp

@@ -39,6 +39,10 @@ def _encode_group(batch: pa.Table, cfg: Config) -> pa.Table:
     cblobs = batch["canon_bytes"].to_pylist()
     kinds, cpl, cenv, ipl = [], [], [], []
     for iid, cid, cap, blob, ccap, cblob in zip(ids, cids, caps, blobs, ccaps, cblobs):
+        # null captions are tolerated upstream (signatures.py signs
+        # them as b""); the store must not crash on them either
+        cap = cap or ""
+        ccap = ccap or ""
         cap_b = cap.encode()
         if iid == cid:
             kind = delta.KIND_FULL
@@ -86,7 +90,8 @@ MEMBER_SCHEMA = pa.schema(
 )
 
 
-def attach_clusters(images_ds, clusters_ds, num_partitions: int | None = None):
+def attach_clusters(images_ds, clusters_ds, num_partitions: int | None = None,
+                    est_bytes: int | None = None):
     """images x clusters on image_id -> member rows (MEMBER_SCHEMA).
 
     Tasks-only shuffle equi-join (copartition_two) — NOT Dataset.join:
@@ -102,7 +107,7 @@ def attach_clusters(images_ds, clusters_ds, num_partitions: int | None = None):
 
     return copartition_two(
         images_ds, clusters_ds, "image_id", MEMBER_SCHEMA, merge,
-        num_partitions=num_partitions,
+        num_partitions=num_partitions, est_bytes=est_bytes,
     )
 
 
@@ -122,20 +127,27 @@ def encode_partition(t: pa.Table, cfg: Config) -> pa.Table:
 
 
 def store_table(images_ds, clusters_ds, cfg: Config = DEFAULT_CONFIG,
-                num_partitions: int | None = None):
+                num_partitions: int | None = None,
+                est_bytes: int | None = None):
     """images + cluster assignments -> stored-record table.
 
     Two tasks-only shuffles: co-partition on image_id to attach
     cluster_id, then hash-partition by cluster_id so every cluster is
     wholly local; encode per partition.
+
+    ``est_bytes`` (input payload volume, e.g. sum of the input parquet
+    file sizes): these are the WIDEST rows in the system — caption plus
+    image bytes — so CPU-count partitioning alone under-partitions big
+    inputs (aggregates._resolve_partitions); pass it whenever known.
     """
     from hmse_ray.stages.aggregates import hash_partitioned_groupby_arrow
 
-    members = attach_clusters(images_ds, clusters_ds, num_partitions)
+    members = attach_clusters(images_ds, clusters_ds, num_partitions,
+                              est_bytes=est_bytes)
     return hash_partitioned_groupby_arrow(
         members, "cluster_id",
         lambda t: encode_partition(t, cfg),
-        num_partitions=num_partitions,
+        num_partitions=num_partitions, est_bytes=est_bytes,
     )
 
 

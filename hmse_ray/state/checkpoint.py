@@ -63,8 +63,17 @@ def run_phase1_partition(files: list[str], out_dir: str, p: int,
     """Signatures + chunks for one partition; atomic directory commit."""
     part_dir = os.path.join(out_dir, "phase1", f"part={p}")
     if os.path.exists(os.path.join(part_dir, "_SUCCESS")):
-        with open(os.path.join(part_dir, "metrics.json")) as f:
-            return json.load(f)
+        # the marker alone is not enough: a re-run with MORE input files
+        # can hash a new shard into this partition, and trusting the
+        # cached parquet would silently drop that shard from clusters,
+        # chunk_index and the store. lineage.json records exactly what
+        # built the partition — recompute on any mismatch.
+        with open(os.path.join(part_dir, "lineage.json")) as f:
+            lineage = json.load(f)
+        if sorted(lineage.get("input_files", [])) == sorted(files):
+            with open(os.path.join(part_dir, "metrics.json")) as f:
+                return json.load(f)
+        shutil.rmtree(part_dir)
     t0 = time.time()
     tmp = part_dir + ".tmp"
     if os.path.exists(tmp):
@@ -146,7 +155,9 @@ def run_phase2(out_dir: str, cfg: Config = DEFAULT_CONFIG,
 
     pairs = lsh.candidate_pairs(mh, cfg).union(lsh.simhash_candidate_pairs(sh, cfg))
     clusters = clustering.cluster_from_edges(pairs, mh, cfg)
-    index = exact_dedup.dedup_chunks(chunks, cfg)
+    # two consumers (stats + write) — materialize or the whole dedup
+    # shuffle executes twice, like clusters below
+    index = exact_dedup.dedup_chunks(chunks, cfg).materialize()
     stats = exact_dedup.dedup_stats(index).to_pandas().to_dict("records")[0]
 
     tmp = os.path.join(out_dir, "final.tmp")
@@ -160,7 +171,9 @@ def run_phase2(out_dir: str, cfg: Config = DEFAULT_CONFIG,
         from hmse_ray.stages import store as store_stage
 
         images = rd.read_parquet(input_files)
-        st = store_stage.store_table(images, clusters, cfg).materialize()
+        payload_b = sum(os.path.getsize(f) for f in input_files)
+        st = store_stage.store_table(
+            images, clusters, cfg, est_bytes=payload_b).materialize()
         st.write_parquet(os.path.join(tmp, "store"))
         stats["store_kinds"] = store_stage.store_kind_stats(st).to_pandas().to_dict(
             "records"

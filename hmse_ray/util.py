@@ -3,6 +3,17 @@
 from __future__ import annotations
 
 
+def cluster_cpus(default: int = 8) -> int:
+    """Total cluster CPUs, or ``default`` when Ray isn't up yet — the
+    ONE probe every stage sizes itself by (was copy-pasted per file)."""
+    import ray
+
+    try:
+        return int(ray.cluster_resources().get("CPU", default))
+    except Exception:
+        return default
+
+
 def tune_data_context(num_cpus: int | None = None) -> None:
     """Session-owner helper: size Ray Data's defaults to the cluster.
 
@@ -15,10 +26,7 @@ def tune_data_context(num_cpus: int | None = None) -> None:
     from ray.data import DataContext
 
     if num_cpus is None:
-        try:
-            num_cpus = int(ray.cluster_resources().get("CPU", 8))
-        except Exception:
-            num_cpus = 8
+        num_cpus = cluster_cpus()
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
@@ -72,10 +80,4 @@ def join_partitions(cap: int = 64) -> int:
     actor startup (measured 40x slowdown at 16 partitions on 8 CPUs
     vs 4). One partition per 2 CPUs, capped.
     """
-    import ray
-
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
-    return max(2, min(cap, cpus // 2))
+    return max(2, min(cap, cluster_cpus() // 2))

@@ -88,6 +88,23 @@ class TestLloyd:
         for j in empty:
             assert (c2[j] == c0[j]).all()
 
+    def test_fewer_points_than_k(self, ray_session):
+        """n < k must run with the k we actually have (short init), not
+        crash on a k-length mask over an n-row centroid array; an empty
+        dataset fails loudly."""
+        import ray.data as rd
+
+        X = np.array([[1.0, 0.0], [-1.0, 0.0], [0.0, 1.0]],
+                     dtype=np.float32) * 0.4
+        ds = _toy_ds(rd, X)
+        C = kmeans.lloyd(ds, k=16, iters=2)
+        assert C.shape[0] == 3
+        Q = np.floor(X.astype(np.float64) * 1024 + 0.5).astype(np.int64)
+        a, _ = kmeans.assign_argmin(Q, C)
+        assert set(a.tolist()) <= {0, 1, 2}
+        with pytest.raises(ValueError, match="empty"):
+            kmeans.lloyd(_toy_ds(rd, X[:0]), k=4, iters=1)
+
     def test_centroid_update_rounding_matches_sql_semantics(self):
         import duckdb
 

@@ -140,6 +140,61 @@ class TestStoreVerify:
         inv = verify.roundtrip(images, clusters, CFG)
         assert inv["caption_pass"] == inv["n_rows"] == N_FIX
         assert inv["pixel_pass"] == inv["n_rows"]
+        assert inv["n_missing"] == 0
+
+    def test_lost_rows_are_surfaced_not_masked(self, ray_session, fixture_dir,
+                                               cluster_df):
+        """A verifier whose join silently drops records must not report
+        100%% pass over the shrunken universe: removing one restored row
+        must show up as n_missing, not as a smaller-but-passing n_rows."""
+        import ray
+
+        from hmse_ray.pipelines import dedup, verify
+        from hmse_ray.stages import store
+
+        images = dedup.read_images(fixture_dir + "/images")
+        clusters = ray.data.from_pandas(cluster_df)
+        st = store.store_table(images, clusters, CFG).materialize()
+        restored = verify.reconstruct(st, CFG).materialize()
+        drop_id = restored.take(1)[0]["image_id"]
+        crippled = restored.filter(
+            lambda r: r["image_id"] != drop_id)
+        inv = verify.verify_invariant(crippled, images, CFG)
+        assert inv["n_missing"] == 1
+        assert inv["n_rows"] == N_FIX - 1
+
+    def test_null_caption_row_roundtrips(self, ray_session):
+        """Null captions are tolerated by the signer; the store and the
+        verify loop must not crash on them either."""
+        import numpy as np
+        import pandas as pd
+
+        import ray
+
+        from hmse_ray.functions import imagecodec
+        from hmse_ray.pipelines import verify
+        from hmse_ray.sources.fixtures import IMG_H, IMG_W
+        from hmse_ray.stages import store
+
+        rows = []
+        for i in range(2):
+            pix = np.full((IMG_H, IMG_W, 3), 40 * (i + 1), np.uint8)
+            rows.append({"image_id": f"n{i}",
+                         "bytes": imagecodec.encode(pix, "png"),
+                         "w": IMG_W, "h": IMG_H, "fmt": "png",
+                         "caption": None if i == 0 else "cap",
+                         "phash": 0})
+        images = ray.data.from_pandas(pd.DataFrame(rows))
+        clusters = ray.data.from_pandas(pd.DataFrame(
+            {"image_id": ["n0", "n1"], "cluster_id": ["n0", "n1"]}))
+        st = store.store_table(images, clusters, CFG)
+        assert st.count() == 2
+        inv = verify.roundtrip(images, clusters, CFG)
+        # the null caption restores as "" (the signer's b"" convention),
+        # so it cannot byte-equal None — but nothing crashes and the
+        # non-null row passes
+        assert inv["n_rows"] == 2 and inv["n_missing"] == 0
+        assert inv["pixel_pass"] == 2
 
     def test_store_kinds_present(self, ray_session, fixture_dir, cluster_df):
         import ray
@@ -205,6 +260,30 @@ class TestResume:
                 .reset_index(drop=True)
             )
         assert outs[0].equals(outs[1])
+
+    def test_resume_recomputes_on_new_input_files(self, ray_session,
+                                                  fixture_dir, tmp_path):
+        """A _SUCCESS marker must not be trusted when the input set
+        changed: re-running with an extra shard that hashes into a
+        finished partition must recompute it (lineage mismatch), not
+        silently drop the new shard from the run."""
+        from hmse_ray.sources import fixtures
+        from hmse_ray.state import checkpoint
+
+        images = pq.read_table(fixture_dir + "/images")
+        files = fixtures.write_sharded(images, str(tmp_path / "sl"), shards=6)
+        out = str(tmp_path / "run_lineage")
+        checkpoint.run_resumable(files[:4], out, CFG, num_partitions=2)
+        n_before = pq.read_table(
+            os.path.join(out, "final", "clusters")).num_rows
+
+        checkpoint.run_resumable(files, out, CFG, num_partitions=2)
+        clusters = pq.read_table(os.path.join(out, "final", "clusters"))
+        assert clusters.num_rows == N_FIX > n_before
+        # every shard's rows made it into the final clusters
+        got = set(clusters.to_pandas()["image_id"])
+        want = set(images.to_pandas()["image_id"])
+        assert got == want
 
     def test_partition_metrics_written(self, ray_session, fixture_dir, tmp_path):
         from hmse_ray.sources import fixtures
