@@ -84,6 +84,8 @@ class Bloom:
     def __init__(self, m_bits: int = 1 << 20, k: int = 7,
                  bits: np.ndarray | None = None):
         assert m_bits & (m_bits - 1) == 0, "m_bits must be a power of two"
+        assert m_bits >= 64, "m_bits below one 64-bit word allocates an " \
+            "empty bits array and every probe IndexErrors"
         self.m_bits = m_bits
         self.k = k
         self.bits = (

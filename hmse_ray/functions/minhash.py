@@ -30,12 +30,22 @@ def seeds_for(cfg: Config) -> np.ndarray:
 
 
 def shingles_u32(data: bytes, shingle_size: int = 4) -> np.ndarray:
-    """Unique sliding 4-byte windows as little-endian uint32 (the shingle SET)."""
+    """Unique sliding 4-byte windows as little-endian uint32 (the shingle SET).
+
+    Sub-4-byte inputs are padded with the PAD LENGTH as the byte value
+    (b'a' -> b'a\\x03\\x03\\x03'): plain NUL padding made distinct tiny
+    inputs shingle-identical (b'' == b'\\x00' == b'\\x00'*4, b'a' ==
+    b'a\\x00\\x00\\x00'), which MinHash then reported as Jaccard 1.0 —
+    false near-dup pairs. Length-aware padding keeps every sub-4-byte
+    input distinct from every other and from its NUL-extended 4-byte
+    cousins. (Driver corpora never hit this — testdata minimum is 48
+    chars, and the SQL oracles document the <4-byte divergence.)"""
     if shingle_size != 4:
         raise NotImplementedError("reference config uses 4-byte shingles")
     a = np.frombuffer(data, dtype=np.uint8)
     if a.size < 4:
-        a = np.frombuffer(data + b"\x00" * (4 - a.size), dtype=np.uint8)
+        pad = 4 - a.size
+        a = np.frombuffer(data + bytes([pad]) * pad, dtype=np.uint8)
     w = (
         a[:-3].astype(np.uint32)
         | (a[1:-2].astype(np.uint32) << np.uint32(8))

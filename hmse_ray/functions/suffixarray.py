@@ -36,8 +36,13 @@ def build(data: bytes) -> np.ndarray:
     if n == 0:
         return _EMPTY_SA
     rank = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+    if n == 1:
+        return np.zeros(1, dtype=np.int64)
     k = 1
-    order = np.argsort(rank, kind="stable").astype(np.int64)
+    # no initial argsort: the first loop iteration's lexsort computes
+    # the k=1 order from scratch (an up-front sort was pure dead work
+    # on this per-near-dup-pair hot path)
+    order = _EMPTY_SA
     while k < n:
         second = np.full(n, -1, dtype=np.int64)
         second[: n - k] = rank[k:]

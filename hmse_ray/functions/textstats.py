@@ -113,7 +113,16 @@ def winnow_fingerprints(text: str, k: int = 8, window: int = 16) -> np.ndarray:
     k-gram hashes via the vectorized murmur3 premix+finalize over 4-byte
     shingle folds of each k-gram (rolling-hash family), minimum per
     sliding window of ``window`` hashes.
+
+    ``k`` must be a positive multiple of 4: the fold walks the k-gram in
+    4-byte words, so k < 4 hashed every gram to 0 (every document
+    fingerprinted to {0} -> all-pairs candidates) and a non-multiple
+    silently ignored the trailing k %% 4 bytes of every gram.
     """
+    if k < 4 or k % 4:
+        raise ValueError(
+            f"winnow k must be a positive multiple of 4 (got {k}): the "
+            "4-byte word fold degenerates otherwise")
     data = text.encode()
     if len(data) < k:
         data = data + b"\x00" * (k - len(data))
@@ -159,7 +168,13 @@ def simhash64_text(text: str, seed: int = 0x51A7) -> int:
 
 
 def char_ngram_set(text: str, n: int = 4) -> np.ndarray:
-    """Character n-gram set as uint32 shingles (n=4 -> minhash shingles)."""
+    """Character n-gram set as uint32 shingles (n=4 -> minhash shingles).
+
+    Only n=4 is implemented (the uint32 shingle word); other n raise
+    instead of silently returning 4-gram results."""
+    if n != 4:
+        raise NotImplementedError(
+            f"char_ngram_set supports n=4 only (got n={n})")
     return _mh.shingles_u32(text.encode())
 
 

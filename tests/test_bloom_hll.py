@@ -35,6 +35,14 @@ class TestHexWords:
 
 
 class TestBloom:
+    def test_sub_word_m_bits_rejected(self):
+        """m_bits < 64 allocated a zero-length word array and every
+        probe IndexError'd; the constructor must refuse it loudly."""
+        import pytest
+
+        with pytest.raises(AssertionError, match="64"):
+            Bloom(32, k=3)
+
     def test_no_false_negatives(self):
         added = _shas(range(0, 3000, 3))
         b = Bloom(1 << 16, k=5).add_many(added)

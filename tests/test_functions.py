@@ -111,6 +111,16 @@ class TestMinHash:
         sig = minhash.signatures([b""], CFG)
         assert sig.shape == (1, 128)
 
+    def test_tiny_docs_stay_distinct(self):
+        """Sub-4-byte inputs are padded LENGTH-AWARE: plain NUL padding
+        made b'' == b'\\x00' and b'a' == b'a\\x00\\x00\\x00' signature-
+        identical (false Jaccard-1.0 near-dup pairs)."""
+        tiny = [b"", b"\x00", b"a", b"b", b"ab", b"a\x00\x00\x00"]
+        sigs = minhash.signatures(tiny, CFG)
+        for i in range(len(tiny)):
+            for j in range(i + 1, len(tiny)):
+                assert not (sigs[i] == sigs[j]).all(), (tiny[i], tiny[j])
+
 
 class TestLSHMath:
     def test_reference_formula(self):

@@ -52,6 +52,22 @@ class TestQuality:
 
 
 class TestFingerprints:
+    def test_degenerate_winnow_k_rejected(self):
+        """k < 4 hashed every gram to 0 (all docs fingerprint to {0} ->
+        all-pairs candidates); non-multiples of 4 silently dropped the
+        trailing bytes of every gram. Both now raise."""
+        import pytest
+
+        for bad in (0, 3, 5, 7):
+            with pytest.raises(ValueError, match="multiple of 4"):
+                textstats.winnow_fingerprints("hello world text", k=bad)
+
+    def test_char_ngram_n_guard(self):
+        import pytest
+
+        with pytest.raises(NotImplementedError):
+            textstats.char_ngram_set("abcdef", n=5)
+
     def test_deterministic_and_shift_stable(self):
         a = "the quick brown fox jumps over the lazy dog " * 30
         b = "PREFIX " + a
