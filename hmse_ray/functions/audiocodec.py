@@ -55,6 +55,10 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int, int]:
     while pos + 8 <= end:
         cid = blob[pos : pos + 4]
         size = struct.unpack("<I", blob[pos + 4 : pos + 8])[0]
+        if pos + 8 + size > len(blob):
+            raise ValueError(
+                f"chunk {cid!r} declares {size} bytes but only "
+                f"{len(blob) - pos - 8} remain — truncated/corrupt stream")
         payload = blob[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt_chunk = payload
@@ -66,23 +70,49 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int, int]:
     audio_fmt, n_ch, rate, _, _, bits = struct.unpack("<HHIIHH", fmt_chunk[:16])
     if audio_fmt != 1 or bits != 16:
         raise ValueError(f"only PCM16 supported (fmt={audio_fmt}, bits={bits})")
+    if n_ch < 1:
+        raise ValueError(f"corrupt fmt chunk: n_channels={n_ch}")
+    if rate < 1:
+        raise ValueError(f"corrupt fmt chunk: sample_rate={rate}")
     s = np.frombuffer(data[: (len(data) // (2 * n_ch)) * 2 * n_ch], dtype="<i2")
     if n_ch > 1:
         s = s.reshape(-1, n_ch)
     return s, rate, n_ch
 
 
-def audio_features(samples: np.ndarray, rate: int) -> dict:
-    """Deterministic per-clip features with SQL-exact arithmetic:
-    the sum of squares is integer (exact on both sides), so
-    rms = sqrt(sum_sq / n) matches DuckDB bit-for-bit."""
+def feature_table(ids, n, sum_sq, peak, rates, chans):
+    """Final per-clip feature arithmetic — the ONE implementation shared
+    by the fused stage, the two-stage reduction and the scalar helper
+    (three hand-synced copies previously risked silent SQL-parity
+    drift). duration_ms counts FRAMES (interleaved sample count /
+    channels) — the old interleaved-count duration reported n_ch x the
+    real duration for multi-channel clips (fixtures are mono, so the
+    SQL oracle is unchanged). rms stays over interleaved samples
+    (all-channel power), sum_sq integer-exact for the oracle."""
+    import pyarrow as pa
+
+    n = np.asarray(n, dtype=np.int64)
+    sum_sq = np.asarray(sum_sq, dtype=np.int64)
+    peak = np.asarray(peak, dtype=np.int64)
+    rate_f = np.asarray(rates, dtype=np.float64)
+    frames = n // np.maximum(np.asarray(chans, dtype=np.int64), 1)
+    return pa.table({
+        "clip_id": ids,
+        "n_samples": pa.array(n, pa.int64()),
+        "sample_rate": pa.array(np.asarray(rates, dtype=np.int64), pa.int64()),
+        "duration_ms": pa.array(frames.astype(np.float64) * 1000.0 / rate_f,
+                                pa.float64()),
+        "rms": pa.array(np.sqrt(sum_sq / np.maximum(n, 1)), pa.float64()),
+        "peak": pa.array(peak, pa.int64()),
+    })
+
+
+def audio_features(samples: np.ndarray, rate: int, n_channels: int = 1) -> dict:
+    """Scalar per-clip features (one row through feature_table)."""
     s = np.asarray(samples, dtype=np.int64).ravel()
-    n = int(s.size)
-    sum_sq = int(np.dot(s, s))
-    return {
-        "n_samples": n,
-        "sample_rate": int(rate),
-        "duration_ms": float(n) * 1000.0 / float(rate),
-        "rms": float(np.sqrt(sum_sq / n)) if n else 0.0,
-        "peak": int(np.abs(s).max()) if n else 0,
-    }
+    t = feature_table(
+        ["x"], [s.size], [int(np.dot(s, s))],
+        [int(np.abs(s).max()) if s.size else 0], [int(rate)], [n_channels])
+    row = {c: t[c][0].as_py() for c in t.column_names}
+    row.pop("clip_id")
+    return row

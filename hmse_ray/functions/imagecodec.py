@@ -105,7 +105,14 @@ def decode(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
 
         import PIL.Image
 
-        return np.asarray(PIL.Image.open(io.BytesIO(data)).convert("RGB"))
+        px = np.asarray(PIL.Image.open(io.BytesIO(data)).convert("RGB"))
+        # same metadata check the png/jfif paths enforce: a mismatched
+        # decode otherwise IndexErrors (or silently mis-samples) in the
+        # resize grid built from (h, w)
+        if px.shape != (h, w, 3):
+            raise ValueError(
+                f"{fmt} decode {px.shape[:2]} != metadata {(h, w)}")
+        return px
     raise NotImplementedError(
         f"fmt {fmt!r}: real image decoding requires PIL (absent in this container)"
     )

@@ -3000,17 +3000,12 @@ def audio_features_two_stage(sf_dir):
         else:
             sum_sq = np.zeros(n.size, np.int64)
             peak = np.zeros(n.size, np.int64)
-        rate = t["sample_rate"].to_numpy(zero_copy_only=False).astype(np.float64)
-        return pa.table(
-            {
-                "clip_id": t["clip_id"],
-                "n_samples": pa.array(n, pa.int64()),
-                "sample_rate": pc.cast(t["sample_rate"], pa.int64()),
-                "duration_ms": pa.array(n.astype(np.float64) * 1000.0 / rate,
-                                        pa.float64()),
-                "rms": pa.array(np.sqrt(sum_sq / np.maximum(n, 1)), pa.float64()),
-                "peak": pa.array(peak, pa.int64()),
-            }
+        from hmse_ray.functions import audiocodec
+
+        return audiocodec.feature_table(
+            t["clip_id"], n, sum_sq, peak,
+            t["sample_rate"].to_numpy(zero_copy_only=False),
+            t["n_channels"].to_numpy(zero_copy_only=False),
         )
 
     return (

@@ -15,20 +15,10 @@ from __future__ import annotations
 
 import hashlib
 
-import numpy as np
 import pyarrow as pa
 
 from hmse_ray.config import Config, DEFAULT_CONFIG
 from hmse_ray.functions import fastcdc
-
-CHUNK_SCHEMA = pa.schema(
-    [
-        ("image_id", pa.string()),
-        ("chunk_idx", pa.int32()),
-        ("sha256", pa.string()),  # hex — parquet/duckdb-friendly join key
-        ("chunk_len", pa.int32()),
-    ]
-)
 
 
 def make_chunker(cfg: Config = DEFAULT_CONFIG, keep_bytes: bool = False,
@@ -45,7 +35,15 @@ def make_chunker(cfg: Config = DEFAULT_CONFIG, keep_bytes: bool = False,
         out_bytes: list[bytes] = []
         for ri, text in enumerate(texts):
             data = text.encode() if isinstance(text, str) else (text or b"")
-            for ci, (off, ln) in enumerate(fastcdc.chunk_boundaries(data, cfg)):
+            bounds = fastcdc.chunk_boundaries(data, cfg)
+            if not bounds:
+                # empty/NULL text: one zero-length chunk, so the row
+                # stays visible to the dedup index and the per-doc
+                # chunk counts match the SQL oracles (which count every
+                # document row); silently emitting nothing made empty
+                # docs vanish from the pipeline entirely
+                bounds = [(0, 0)]
+            for ci, (off, ln) in enumerate(bounds):
                 cb = data[off : off + ln]
                 take_idx.append(ri)
                 out_idx.append(ci)

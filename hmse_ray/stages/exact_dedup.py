@@ -27,9 +27,9 @@ and a vectorized two-stage aggregate otherwise:
 
 Ray's built-in ``ds.groupby(key).aggregate`` handles stage 2's
 correctness (Count/Min are built-in aggregates and run partial+final
-internally); we express the canonical pick as Min over a packed
-"(image_id|chunk_idx)" sort key so the whole thing stays in Ray's
-vectorized aggregate path with NO per-group Python.
+internally); we express the canonical pick as min over a packed
+"id#chunk_idx" sort key inside a hash-partitioned vectorized pandas
+groupby (stages/aggregates.py) — NO per-group Python.
 """
 
 from __future__ import annotations
@@ -38,16 +38,35 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ray.data.aggregate import Count, Min
-
 from hmse_ray.config import Config, DEFAULT_CONFIG
+
+# chunk_idx is lpad'd to this width in the packed canonical key; wider
+# indices would sort lexicographically wrong (\'1000000\' < \'999999\'),
+# so packing guards the bound loudly instead
+_REF_IDX_WIDTH = 6
 
 
 def _pack_ref(batch: pa.Table, id_col: str = "image_id") -> pa.Table:
-    """Add chunk_ref = '<id>#chunk_idx' (orderable canonical key)."""
+    """Add chunk_ref = '<id>#chunk_idx' (deterministic canonical key).
+
+    Ordering contract: the canonical pick is min over THESE PACKED
+    STRINGS — for ids containing characters below '#' (0x23, e.g. '!'
+    or space) that deviates from (id, chunk_idx) TUPLE order, but stays
+    deterministic and matches the SQL oracle byte-for-byte (the oracle
+    packs identically, queries.py cdc_chunk_index). Corpus ids are
+    alphanumeric, where packed order == tuple order."""
+    if batch.num_rows:
+        mx = pc.max(batch["chunk_idx"]).as_py()
+        if mx is not None and mx >= 10 ** _REF_IDX_WIDTH:
+            raise ValueError(
+                f"chunk_idx {mx} exceeds the packed-key width "
+                f"(10^{_REF_IDX_WIDTH}); widen _REF_IDX_WIDTH (and the "
+                "SQL oracle's lpad) before ingesting docs with that "
+                "many chunks")
     ref = pc.binary_join_element_wise(
         pc.cast(batch[id_col], pa.string()),
-        pc.utf8_lpad(pc.cast(batch["chunk_idx"], pa.string()), 6, "0"),
+        pc.utf8_lpad(pc.cast(batch["chunk_idx"], pa.string()),
+                     _REF_IDX_WIDTH, "0"),
         "#",
     )
     return batch.append_column("chunk_ref", ref)

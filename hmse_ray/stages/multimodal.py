@@ -21,7 +21,6 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from hmse_ray.config import Config, DEFAULT_CONFIG
 from hmse_ray.functions import imagecodec
 
 
@@ -122,7 +121,11 @@ class AudioDecode:
             chans.append(n_ch)
             offsets.append(offsets[-1] + s.size)
         if self.features_only:
-            return _clip_features(ids, out_samples, rates)
+            return _clip_features(ids, out_samples, rates, chans)
+        if offsets[-1] > np.iinfo(np.int32).max:
+            raise ValueError(
+                f"batch decodes to {offsets[-1]} samples, exceeding int32 "
+                "list offsets — lower the stage batch_size for long clips")
         flat = (
             np.concatenate(out_samples) if out_samples else np.empty(0, np.int16)
         )
@@ -138,29 +141,19 @@ class AudioDecode:
         )
 
 
-def _clip_features(ids, out_samples: list[np.ndarray], rates: list[int]) -> pa.Table:
+def _clip_features(ids, out_samples: list[np.ndarray], rates: list[int],
+                   chans: list[int]) -> pa.Table:
     """Per-clip features from decoded int16 PCM — value-identical to the
-    two-stage decode -> features pipeline (integer sum of squares, then
-    the same float64 ops), so the fused path keeps the SQL oracle."""
-    n = np.array([s.size for s in out_samples], dtype=np.int64)
-    sum_sq = np.array(
-        [int((s.astype(np.int64) ** 2).sum()) for s in out_samples], dtype=np.int64
-    )
-    peak = np.array(
-        [int(np.abs(s.astype(np.int64)).max()) if s.size else 0 for s in out_samples],
-        dtype=np.int64,
-    )
-    rate = np.array(rates, dtype=np.float64)
-    return pa.table(
-        {
-            "clip_id": ids,
-            "n_samples": pa.array(n, pa.int64()),
-            "sample_rate": pa.array(np.array(rates, dtype=np.int64), pa.int64()),
-            "duration_ms": pa.array(n.astype(np.float64) * 1000.0 / rate, pa.float64()),
-            "rms": pa.array(np.sqrt(sum_sq / np.maximum(n, 1)), pa.float64()),
-            "peak": pa.array(peak, pa.int64()),
-        }
-    )
+    two-stage decode -> features pipeline (both route their final
+    arithmetic through audiocodec.feature_table, so the fused path
+    keeps the SQL oracle and channel semantics by construction)."""
+    from hmse_ray.functions import audiocodec
+
+    n = [s.size for s in out_samples]
+    sum_sq = [int((s.astype(np.int64) ** 2).sum()) for s in out_samples]
+    peak = [int(np.abs(s.astype(np.int64)).max()) if s.size else 0
+            for s in out_samples]
+    return audiocodec.feature_table(ids, n, sum_sq, peak, rates, chans)
 
 
 class VideoFrameSample:
